@@ -1,0 +1,172 @@
+"""Throughput benchmark: GGNN fwd+bwd edges/s/chip (BASELINE.json metric).
+
+Runs the flagship GGNN(8 layers, h=32, untied)+HolE train step (forward +
+backward + Adam update) over batches of realistic drug molecules and
+reports directed edges processed per second on the default device (the
+real TPU chip under the driver).
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.md), so the stand-in baseline is 8x a single-CPU JAX run of the
+identical step — BASELINE.json's ">=8x CPU edges/s/chip" target expressed
+as a ratio: vs_baseline >= 1.0 means the target is met.  The CPU number
+is measured once and cached in ``.bench_cpu_cache.json``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Allow both the TPU (axon) and CPU platforms in one process.  jax may
+# already be imported by sitecustomize with JAX_PLATFORMS=axon bound.
+import jax
+
+try:
+    if "cpu" not in (os.environ.get("JAX_PLATFORMS") or ""):
+        jax.config.update(
+            "jax_platforms",
+            ((os.environ.get("JAX_PLATFORMS") or "") + ",cpu").lstrip(","),
+        )
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import optax
+
+# ~typical DrugBank small molecules (aspirin, caffeine, ibuprofen, ...)
+DRUG_SMILES = [
+    "CC(=O)Oc1ccccc1C(=O)O",
+    "Cn1cnc2c1c(=O)n(C)c(=O)n2C",
+    "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+    "CC(=O)Nc1ccc(O)cc1",
+    "Clc1ccccc1C(=O)Nc1ccccc1",
+    "CCN(CC)CCNC(=O)c1ccc(N)cc1",
+    "OC(=O)c1ccccc1O",
+    "CN1CCC[C@H]1c1cccnc1",
+    "NC(=O)c1ccc[nH]1",
+    "COc1ccc2cc(ccc2c1)C(C)C(=O)O",
+    "Oc1ccc(cc1)/C=C/c1cc(O)cc(O)c1",
+    "CC(C)(C)NCC(O)c1ccc(O)c(CO)c1",
+    "CN(C)CCCN1c2ccccc2CCc2ccccc21",
+    "NS(=O)(=O)c1cc2c(cc1Cl)NC(NS2(=O)=O)C1CC1",
+    "CC(N)Cc1ccccc1",
+    "OCC(O)C(O)C(O)C(O)CO",
+]
+
+BATCH = 512
+PAD_N = 48
+HIDDEN = 32
+LAYERS = 8
+WARMUP = 3
+ITERS = 20
+CPU_ITERS = 2
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_cache.json")
+
+
+def build_batch():
+    from gcnbmp_tpu.chem import GGNNFeaturizer, mol_from_smiles
+    from gcnbmp_tpu.data.dataset import PairDataset, make_batch
+
+    f = GGNNFeaturizer()
+    graphs = [f(mol_from_smiles(s)) for s in DRUG_SMILES]
+    rng = np.random.default_rng(0)
+    ds = PairDataset()
+    for i in range(BATCH):
+        g1 = graphs[int(rng.integers(len(graphs)))]
+        g2 = graphs[int(rng.integers(len(graphs)))]
+        ds.append(g1, g2, np.float32(rng.integers(0, 2)))
+    return make_batch(ds, list(range(BATCH)), pad_to=PAD_N)
+
+
+def build_step():
+    from gcnbmp_tpu.models import set_up_predictor
+    from gcnbmp_tpu.train.loop import sigmoid_cross_entropy
+
+    predictor = set_up_predictor(
+        method="ggnn", fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN,
+        conv_layers=LAYERS, weight_tying=False, sim_method="hole",
+    )
+    optimizer = optax.adam(1e-3)
+
+    def loss_fn(params, a1, j1, a2, j2, m1, m2, y):
+        logits = predictor.apply(
+            {"params": params}, a1, j1, a2, j2, m1, m2, deterministic=True
+        )
+        return sigmoid_cross_entropy(jnp.reshape(logits, y.shape), y)
+
+    @jax.jit
+    def step(params, opt_state, a1, j1, a2, j2, m1, m2, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, a1, j1, a2, j2, m1, m2, y)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return predictor, optimizer, step
+
+
+def measure(device, iters):
+    batch = build_batch()
+    predictor, optimizer, step = build_step()
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    a1, j1 = put(batch.atoms1), put(batch.adj1)
+    a2, j2 = put(batch.atoms2), put(batch.adj2)
+    m1, m2 = put(batch.mask1), put(batch.mask2)
+    y = put(batch.labels)
+    variables = predictor.init(jax.random.PRNGKey(0), a1, j1, a2, j2, m1, m2)
+    params = jax.device_put(variables["params"], device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+    for _ in range(WARMUP):
+        params, opt_state, loss = step(params, opt_state, a1, j1, a2, j2, m1, m2, y)
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, a1, j1, a2, j2, m1, m2, y)
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    # directed edges actually processed per step (both molecules, all 8 layers
+    # count once per step by convention — edges/s measures graph throughput)
+    edges = float(batch.num_edges)
+    return edges / dt, dt, edges
+
+
+def cpu_baseline():
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            d = json.load(f)
+        key = f"{BATCH}x{PAD_N}x{HIDDEN}x{LAYERS}"
+        if d.get("key") == key:
+            return d["edges_per_s"]
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+    eps, dt, _ = measure(cpu, CPU_ITERS)
+    with open(CACHE, "w") as f:
+        json.dump({"key": f"{BATCH}x{PAD_N}x{HIDDEN}x{LAYERS}", "edges_per_s": eps}, f)
+    return eps
+
+
+def main():
+    device = jax.devices()[0]
+    print(f"# device: {device}", file=sys.stderr)
+    eps, dt, edges = measure(device, ITERS)
+    print(f"# step {dt*1e3:.2f} ms, {edges:.0f} edges/batch", file=sys.stderr)
+    cpu_eps = cpu_baseline()
+    vs = eps / (8.0 * cpu_eps) if cpu_eps else None
+    print(json.dumps({
+        "metric": "edges_per_s_per_chip_ggnn_fwdbwd",
+        "value": round(eps),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""CSV pair parsers.
+
+Equivalent of the reference's ``CSVFileParserForPair`` (parsers.py:123-335)
+and its multi-label twin (parsers_multi.py:24-243): read a CSV of SMILES
+pairs + label column(s), featurize both molecules, skip unparseable rows
+with a fail count.
+
+Multi-label mode accepts ``||``-delimited label strings and binarizes them
+against a class list (reference: train_ggnn_hole_multi_class_x37.py:274
+``to_multi_hot_labels``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from gcnbmp_tpu.chem.featurize import FeaturizeError, GGNNFeaturizer
+from gcnbmp_tpu.chem.smiles import mol_from_smiles
+from gcnbmp_tpu.data.dataset import PairDataset
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ParseResult:
+    dataset: PairDataset
+    is_successful: np.ndarray  # bool per input row
+    fail_count: int
+    total_count: int
+
+
+@dataclass
+class CSVPairParser:
+    """Parse a pair CSV into a PairDataset.
+
+    Args:
+        featurizer: callable Mol -> MolGraph (default GGNNFeaturizer()).
+        labels: label column name(s).  A single column with numeric values
+            gives scalar labels; ``multi_label_classes`` switches to
+            multi-hot parsing of ``||``-delimited strings.
+        smiles_cols: the two SMILES column names
+            (reference default ['smiles_1', 'smiles_2'], parsers.py:137).
+    """
+
+    featurizer: Optional[Callable] = None
+    labels: Sequence[str] = ("label",)
+    smiles_cols: Sequence[str] = ("smiles_1", "smiles_2")
+    multi_label_classes: Optional[Sequence[str]] = None
+    label_delimiter: str = "||"
+
+    def __post_init__(self):
+        if self.featurizer is None:
+            self.featurizer = GGNNFeaturizer()
+
+    def _parse_label(self, row) -> np.ndarray:
+        if self.multi_label_classes is not None:
+            cls_index = {c: i for i, c in enumerate(self.multi_label_classes)}
+            vec = np.zeros((len(cls_index),), dtype=np.float32)
+            raw = str(row[self.labels[0]])
+            for part in raw.split(self.label_delimiter):
+                part = part.strip()
+                if part in cls_index:
+                    vec[cls_index[part]] = 1.0
+            return vec
+        vals = [np.float32(row[c]) for c in self.labels]
+        return np.asarray(vals[0] if len(vals) == 1 else vals, dtype=np.float32)
+
+    def parse(self, filepath_or_df) -> ParseResult:
+        if isinstance(filepath_or_df, pd.DataFrame):
+            df = filepath_or_df
+        else:
+            df = pd.read_csv(filepath_or_df)
+        ds = PairDataset()
+        ok = np.zeros((len(df),), dtype=bool)
+        fail = 0
+        c1, c2 = self.smiles_cols
+        for i, (_, row) in enumerate(df.iterrows()):
+            smi1, smi2 = str(row[c1]), str(row[c2])
+            m1 = mol_from_smiles(smi1)
+            m2 = mol_from_smiles(smi2)
+            if m1 is None or m2 is None:
+                fail += 1
+                logger.debug("parse failure at row %d: %r / %r", i, smi1, smi2)
+                continue
+            try:
+                g1 = self.featurizer(m1)
+                g2 = self.featurizer(m2)
+            except FeaturizeError as e:
+                fail += 1
+                logger.debug("featurize failure at row %d: %s", i, e)
+                continue
+            ds.append(g1, g2, self._parse_label(row))
+            ok[i] = True
+        if fail:
+            logger.info("skipped %d/%d unparseable pair rows", fail, len(df))
+        return ParseResult(
+            dataset=ds, is_successful=ok, fail_count=fail, total_count=len(df)
+        )
+
+
+def parse_pair_csv(
+    path: str,
+    featurizer: Optional[Callable] = None,
+    labels: Sequence[str] = ("label",),
+    smiles_cols: Sequence[str] = ("smiles_1", "smiles_2"),
+    multi_label_classes: Optional[Sequence[str]] = None,
+) -> PairDataset:
+    parser = CSVPairParser(
+        featurizer=featurizer,
+        labels=labels,
+        smiles_cols=smiles_cols,
+        multi_label_classes=multi_label_classes,
+    )
+    return parser.parse(path).dataset
+
+
+def get_class_labels(labels_csv: str, column: str = "label") -> List[str]:
+    """Read the class list for multi-label tasks (reference:
+    train_ggnn_hole_multi_class_x37.py get_class_num over labels.csv)."""
+    df = pd.read_csv(labels_csv)
+    return [str(x) for x in df[column].tolist()]

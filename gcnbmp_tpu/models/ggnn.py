@@ -1,0 +1,174 @@
+"""GGNN encoder — the paper's flagship molecule encoder.
+
+Functional JAX re-design of the reference GGNN (models/ggnn.py:19-654):
+EmbedAtomID -> T steps of [per-edge-type linear message -> adjacency
+aggregation -> Chainer-GRU update] -> gated readout
+``sigmoid(i([h, h0])) * j(h)`` summed over atoms.
+
+Differences from the reference, by design:
+- stateless: per-atom hidden states / per-layer readouts are returned in
+  an aux dict instead of being cached on the module
+  (reference ggnn_att.py:662-665 ``get_atom_array``);
+- an explicit ``mask`` input controls whether padded atoms participate in
+  the readout.  The reference lets padded atoms contribute embed(0)-drived
+  values to the readout sum (no is_real_node masking in models/ggnn.py's
+  readout); pass ``mask=None`` to reproduce that for parity runs, or the
+  batch's node mask for the corrected behavior (default in configs).
+- supports both atom-ID int inputs and dense per-atom feature matrices
+  (reference models/ggnn.py:598-603 dtype dispatch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gcnbmp_tpu.models.layers import (
+    ChainerGRUCell,
+    EmbedAtomID,
+    GraphLinear,
+    LecunNormal,
+    MAX_ATOMIC_NUM,
+)
+from gcnbmp_tpu.ops.aggregate import edge_type_aggregate
+
+NUM_EDGE_TYPE = 4
+
+
+class GatedReadout(nn.Module):
+    """g = sum_atoms sigmoid(i([h, h0])) * j(h)
+    (reference: models/ggnn.py:333-341)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(
+        self,
+        h: jnp.ndarray,
+        h0: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        gate = jax.nn.sigmoid(
+            GraphLinear(self.out_dim, name="i")(jnp.concatenate([h, h0], axis=-1))
+        )
+        g = gate * GraphLinear(self.out_dim, name="j")(h)
+        if mask is not None:
+            g = g * mask[..., None]
+        return jnp.sum(g, axis=-2)  # sum over atom axis: (B, N, D) -> (B, D)
+
+
+class GGNNUpdate(nn.Module):
+    """One message-passing step: edge-type messages + GRU update
+    (reference: models/ggnn.py:215-263)."""
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+        b, n, ch = h.shape
+        # GraphLinear h -> 4h; reference reshapes to (mb, atom, ch, edge)
+        # i.e. edge type is the FASTEST axis of the 4h output — kept
+        # identical so weights are layout-compatible with a transcription.
+        m = GraphLinear(NUM_EDGE_TYPE * self.hidden_dim, name="message")(h)
+        m = m.reshape(b, n, self.hidden_dim, NUM_EDGE_TYPE)
+        m = jnp.transpose(m, (0, 3, 1, 2))  # (B, E, N, H)
+        m = edge_type_aggregate(adj, m)  # (B, N, H)
+        x = jnp.concatenate([h, m], axis=-1)
+        return ChainerGRUCell(self.hidden_dim, name="gru")(h, x)
+
+
+class GGNN(nn.Module):
+    """Gated Graph Neural Network encoder.
+
+    Args mirror the reference constructor (models/ggnn.py:39-166); options
+    not yet implemented raise at call time so configs stay honest.
+    """
+
+    out_dim: int
+    hidden_dim: int = 16
+    n_layers: int = 4
+    n_atom_types: int = MAX_ATOMIC_NUM
+    concat_hidden: bool = False
+    weight_tying: bool = True
+    dropout_rate: float = 0.0
+    batch_normalization: bool = False
+    layer_aggregator: Optional[str] = None
+    use_attention: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        atoms: jnp.ndarray,
+        adj: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """Returns (g [B, out_dim or n_layers*out_dim], aux dict)."""
+        if jnp.issubdtype(atoms.dtype, jnp.integer):
+            h = EmbedAtomID(self.n_atom_types, self.hidden_dim, name="embed")(atoms)
+        else:
+            h = atoms
+        h0 = h
+
+        n_message = 1 if self.weight_tying else self.n_layers
+        updates = [
+            GGNNUpdate(self.hidden_dim, name=f"update_{i}") for i in range(n_message)
+        ]
+        n_readout = self.n_layers if self.concat_hidden else 1
+        readout_dim = self.out_dim
+        if self.layer_aggregator == "concat":
+            readout_dim = self.out_dim  # readout applied after aggregation
+        readouts = [
+            GatedReadout(readout_dim, name=f"readout_{i}") for i in range(n_readout)
+        ]
+
+        if self.use_attention:
+            raise NotImplementedError(
+                "masked self-attention (reference ggnn.py:376-405) lands with "
+                "the attention feature pass"
+            )
+
+        g_list = []
+        h_list = []
+        for step in range(self.n_layers):
+            upd = updates[0 if self.weight_tying else step]
+            h = upd(h, adj)
+            if self.batch_normalization:
+                h = nn.BatchNorm(
+                    use_running_average=deterministic, name=f"bn_{step}"
+                )(h)
+            if self.dropout_rate > 0.0:
+                h = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(h)
+            if self.concat_hidden:
+                g_list.append(readouts[step](h, h0, mask))
+            if self.layer_aggregator:
+                h_list.append(h)
+
+        aux: Dict[str, Any] = {"atoms": h, "h0": h0, "h_list": h_list, "g_list": g_list}
+
+        if self.layer_aggregator:
+            h_agg = self._aggregate_layers(h_list)
+            # the reference rebuilds i/j layers sized for the aggregated
+            # input (models/ggnn.py:240-257); Dense infers input width.
+            g = GatedReadout(self.out_dim, name="readout_agg")(h_agg, h0, mask)
+            return g, aux
+
+        if self.concat_hidden:
+            return jnp.concatenate(g_list, axis=-1), aux
+        g = readouts[0](h, h0, mask)
+        return g, aux
+
+    def _aggregate_layers(self, h_list):
+        """Layer aggregators over per-layer hidden states
+        (reference: models/ggnn.py:407-579).  'concat' and 'max-pool'
+        here; attn/lstm/gru flavors land with the JKNet pass."""
+        if self.layer_aggregator == "concat":
+            return jnp.concatenate(h_list, axis=-1)
+        if self.layer_aggregator == "max-pool":
+            return jnp.max(jnp.stack(h_list, axis=0), axis=0)
+        raise NotImplementedError(
+            f"layer_aggregator={self.layer_aggregator!r} not yet implemented"
+        )

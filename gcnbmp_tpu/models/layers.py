@@ -1,0 +1,124 @@
+"""Building-block layers with Chainer-matching semantics.
+
+These pin the exact math of the reference's external dependencies
+(SURVEY §2.8): chainer_chemistry.links.GraphLinear / EmbedAtomID and
+chainer.links.GRU (StatefulGRU), so that activation-level parity tests can
+transcribe the reference equations directly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# chainer_chemistry.config.MAX_ATOMIC_NUM — EmbedAtomID vocab size
+# (reference: models/ggnn.py:14,87).
+MAX_ATOMIC_NUM = 117
+
+LecunNormal = nn.initializers.lecun_normal
+
+
+class GraphLinear(nn.Module):
+    """Linear over the last axis of (..., ch) — chainer_chemistry's
+    GraphLinear (used throughout reference models/ggnn.py)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=LecunNormal(),
+            name="dense",
+        )(x)
+
+
+class EmbedAtomID(nn.Module):
+    """Atom-ID embedding (chainer_chemistry EmbedAtomID; chainer EmbedID
+    initializes W ~ Normal(1.0))."""
+
+    num_embeddings: int = MAX_ATOMIC_NUM
+    features: int = 16
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        emb = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=1.0),
+            (self.num_embeddings, self.features),
+        )
+        return jnp.take(emb, ids, axis=0)
+
+
+class ChainerGRUCell(nn.Module):
+    """chainer.links.GRU (StatefulGRU) cell.
+
+    Semantics (chainer/links/connection/gru.py, used as the GGNN update
+    layer at reference models/ggnn.py:132,260):
+
+        z  = sigmoid(W_z x + U_z h)
+        r  = sigmoid(W_r x + U_r h)
+        h~ = tanh(W x + U (r * h))
+        h' = z * h~ + (1 - z) * h
+
+    With ``h = 0`` (the reset_state() start of every molecule forward,
+    reference models/ggnn.py:601) this reduces exactly to Chainer's
+    None-state branch ``h' = z * h~`` — so a zero-initialized state
+    reproduces the reference layer-0 behavior bit-for-bit.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        dense = lambda name: nn.Dense(
+            self.features, kernel_init=LecunNormal(), name=name
+        )
+        z = jax.nn.sigmoid(dense("W_z")(x) + dense("U_z")(h))
+        r = jax.nn.sigmoid(dense("W_r")(x) + dense("U_r")(h))
+        h_bar = jnp.tanh(dense("W")(x) + dense("U")(r * h))
+        return z * h_bar + (1.0 - z) * h
+
+
+class MLP(nn.Module):
+    """Plain MLP head body (reference: models/mlp.py:20-46)."""
+
+    out_dim: int
+    hidden_dims: Sequence[int] = (32, 16)
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = x
+        for i, d in enumerate(self.hidden_dims):
+            h = self.activation(
+                nn.Dense(d, kernel_init=LecunNormal(), name=f"hidden_{i}")(h)
+            )
+        return nn.Dense(self.out_dim, kernel_init=LecunNormal(), name="out")(h)
+
+
+class Bilinear(nn.Module):
+    """chainer.links.Bilinear: y_k = x1^T W_k x2 (+ V1 x1 + V2 x2 + b).
+
+    (reference NTN head: models/mlp.py:48-73 uses links.Bilinear with the
+    default nobias=False -> linear terms included.)
+    """
+
+    out_dim: int
+    use_linear_terms: bool = True
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        d1, d2 = x1.shape[-1], x2.shape[-1]
+        w = self.param("W", LecunNormal(), (d1, d2, self.out_dim))
+        y = jnp.einsum("...i,ijk,...j->...k", x1, w, x2)
+        if self.use_linear_terms:
+            y = y + nn.Dense(self.out_dim, use_bias=False, name="V1")(x1)
+            y = y + nn.Dense(self.out_dim, use_bias=False, name="V2")(x2)
+            y = y + self.param("b", nn.initializers.zeros, (self.out_dim,))
+        return y

@@ -1,0 +1,52 @@
+"""Edge-type-conditioned message aggregation (the GGNN hot loop).
+
+Semantics (reference: models/ggnn.py:222-242): per edge type e,
+``m_e = adj_e @ (h W_e)`` then sum over the 4 types:
+
+    out[b, i, h] = sum_e sum_j adj[b, e, i, j] * msg[b, e, j, h]
+
+TPU mapping: the contraction is expressed so XLA tiles it onto the MXU as
+a single batched matmul with contraction length ``4*N`` — we flatten the
+edge-type axis into the contraction instead of looping over 4 small
+matmuls:
+
+    out[b, i, h] = sum_{(e,j)} adj[b, i, (e,j)] * msg[b, (e,j), h]
+
+which is exactly ``adj_flat (B, N, 4N) @ msg_flat (B, 4N, H)``.  For
+N=128 tiles this is one (128, 512) x (512, H) MXU pass per graph-tile —
+no wasted flops relative to the 4-way loop and a 4x longer (better)
+contraction dimension.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def edge_type_aggregate(adj: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
+    """Aggregate per-edge-type messages.
+
+    Args:
+        adj: (B, E, N, N) one-hot-ish adjacency (E edge types).
+        msg: (B, E, N, H) per-type transformed node features (h @ W_e).
+
+    Returns:
+        (B, N, H) summed neighbor messages.
+    """
+    b, e, n, _ = adj.shape
+    h = msg.shape[-1]
+    # (B, N, E*N) @ (B, E*N, H) -> (B, N, H)
+    adj_flat = jnp.transpose(adj, (0, 2, 1, 3)).reshape(b, n, e * n)
+    msg_flat = msg.reshape(b, e * n, h)
+    return jax.lax.dot_general(
+        adj_flat,
+        msg_flat,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def edge_type_aggregate_reference(adj: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
+    """Direct transcription of the reference loop (for tests)."""
+    return jnp.einsum("beij,bejh->bih", adj, msg)

@@ -1,0 +1,115 @@
+"""Typed training configuration.
+
+Replaces the reference's ~45 argparse flags duplicated per entry script
+(reference: train_ddi_modify_eval2.py:329-461) with one dataclass; the
+string-boolean quirks (``--weight-tying=False`` compared as a string at
+:513-514) are gone by construction.  ``PRESETS`` mirror the 5 BASELINE
+configs (BASELINE.json "configs").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass
+class TrainConfig:
+    # model
+    method: str = "ggnn"                      # encoder family
+    sim_method: str = "hole"                  # scoring head
+    attn: Optional[str] = None                # co-attention variant
+    fp_hidden_dim: int = 16
+    fp_out_dim: int = 16
+    conv_layers: int = 4
+    concat_hidden: bool = False
+    layer_aggregator: Optional[str] = None
+    fp_dropout_rate: float = 0.0
+    fp_batch_normalization: bool = False
+    weight_tying: bool = True
+    net_hidden_dims: Tuple[int, ...] = ()
+    class_num: int = 1                        # 1 = binary; >1 = multi-label
+    siamese: bool = True
+    symmetric: Optional[str] = None           # 'or' | 'and'
+    mask_padding: bool = True                 # False = reference parity quirk
+
+    # data
+    augment: bool = False                     # swap-pair augmentation
+    balance: bool = False                     # pos/neg rebalance
+    max_pad: Optional[int] = None             # fixed pad size (else buckets)
+
+    # optimization (flagship: DDI.md:6 — lr 1e-3, x0.5 at [10..60], b=32)
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    lr_shift_strategy: int = 1                # 1|2|3 (reference :675-687)
+    lr_decay_rate: float = 0.5
+    weight_decay: float = 0.0                 # L2 (Chainer WeightDecay hook)
+    lasso: float = 0.0                        # L1 (Chainer Lasso hook)
+    grad_clip: float = 0.0                    # 0 = off (GradientClipping)
+    clr: Optional[str] = None                 # cyclical LR: triangular|triangular2|exp_range
+    clr_max_lr: float = 6e-3
+    clr_step_size: int = 2000                 # iterations per half-cycle
+    clr_gamma: float = 0.99994
+    epochs: int = 500
+    early_stop_patience: int = 10             # epochs (reference :595)
+    seed: int = 2018                          # GLOBAL_SEED (setting.py:13)
+
+    # precision
+    compute_dtype: str = "float32"            # 'bfloat16' for the fast path
+
+    # io
+    out_dir: str = "results"
+    snapshot_interval: int = 2                # epochs (reference :701)
+    resume: Optional[str] = None
+
+    def lr_shift_epochs(self) -> Tuple[int, ...]:
+        """The three manual ExponentialShift schedules
+        (reference: train_ddi_modify_eval2.py:675-687)."""
+        return {
+            1: (10, 20, 30, 40, 50, 60),
+            2: (10, 20, 30, 40, 50, 60, 70, 80, 90, 100),
+            3: (25, 50, 75, 100),
+        }[self.lr_shift_strategy]
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "TrainConfig":
+        d = json.loads(s)
+        if d.get("net_hidden_dims") is not None:
+            d["net_hidden_dims"] = tuple(d["net_hidden_dims"])
+        return TrainConfig(**d)
+
+
+# The five workload presets from BASELINE.json "configs".
+PRESETS = {
+    # 1. flagship binary DDI: GGNN + HolE (DDI.md:6 hyperparameters)
+    "ggnn_hole_binary": TrainConfig(
+        method="ggnn", sim_method="hole", conv_layers=8, fp_hidden_dim=32,
+        fp_out_dim=32, weight_tying=False, learning_rate=1e-3,
+        lr_shift_strategy=1, batch_size=32, augment=True,
+    ),
+    # 2. co-attention: GGNN + attention readout + co-attention
+    "ggnn_coattention": TrainConfig(
+        method="ggnn", sim_method="ntn", attn="para", conv_layers=8,
+        fp_hidden_dim=32, fp_out_dim=32, weight_tying=False,
+        early_stop_patience=50,
+    ),
+    # 3. RelGCN relational message passing
+    "relgcn_binary": TrainConfig(
+        method="relgcn", sim_method="hole", fp_hidden_dim=32, fp_out_dim=64,
+    ),
+    # 4. GIN / MPNN variants
+    "gin_binary": TrainConfig(
+        method="gin", sim_method="hole", conv_layers=8, fp_hidden_dim=32,
+        fp_out_dim=32,
+    ),
+    # 5. multi-label x37 with jumping knowledge
+    "ggnn_multilabel_x37": TrainConfig(
+        method="ggnn", sim_method="hole", class_num=37, conv_layers=8,
+        fp_hidden_dim=32, fp_out_dim=32, layer_aggregator="concat",
+    ),
+}

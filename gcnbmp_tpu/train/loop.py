@@ -1,0 +1,342 @@
+"""Training loop: jit-compiled steps, Adam + hooks, early stopping,
+epoch-level metric evaluators, snapshots.
+
+Re-expresses the reference's Chainer Trainer stack
+(train_ddi_modify_eval2.py:471-723: SerialIterator -> Classifier ->
+Adam+hooks -> StandardUpdater(concat_mols) -> EarlyStopping + evaluator
+extensions + ExponentialShift + snapshots) as a functional JAX loop:
+
+- one jitted train step per padded-shape bucket (XLA caches by shape);
+- loss = sigmoid cross entropy (binary or multi-hot multi-label);
+- optimizer = optax adam with GradientClipping / WeightDecay / Lasso
+  equivalents (reference :575-580);
+- epoch-end: full-dataset logits on train & val -> host-side sklearn
+  metrics (the BatchEvaluator design);
+- early stopping on val loss with patience (reference :595);
+- checkpoints every ``snapshot_interval`` epochs + resume.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+
+from gcnbmp_tpu.data.dataset import (
+    PaddedPairBatch,
+    PairDataset,
+    batch_iterator,
+    make_batch,
+)
+from gcnbmp_tpu.train.config import TrainConfig
+from gcnbmp_tpu.train.metrics import compute_metrics
+from gcnbmp_tpu.train.schedules import (
+    cyclical_schedule,
+    exponential_shift_schedule,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def sigmoid_cross_entropy(
+    logits: jnp.ndarray, labels: jnp.ndarray
+) -> jnp.ndarray:
+    """Chainer F.sigmoid_cross_entropy (normalize=True): mean over all
+    elements of the element-wise sigmoid CE; labels < 0 are ignored."""
+    logits = jnp.reshape(logits, labels.shape)
+    per_elem = optax.sigmoid_binary_cross_entropy(logits, labels)
+    valid = (labels >= 0).astype(per_elem.dtype)
+    denom = jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.sum(per_elem * valid) / denom
+
+
+def l1_penalty(weight: float) -> optax.GradientTransformation:
+    """Chainer Lasso hook: grad += l1 * sign(param)."""
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        updates = jax.tree.map(
+            lambda g, p: g + weight * jnp.sign(p), updates, params
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer(
+    config: TrainConfig, steps_per_epoch: int
+) -> Tuple[optax.GradientTransformation, Callable]:
+    if config.clr:
+        schedule = cyclical_schedule(
+            config.learning_rate,
+            config.clr_max_lr,
+            config.clr_step_size,
+            mode=config.clr,
+            gamma=config.clr_gamma,
+        )
+    else:
+        schedule = exponential_shift_schedule(
+            config.learning_rate,
+            config.lr_shift_epochs(),
+            steps_per_epoch,
+            rate=config.lr_decay_rate,
+        )
+    chain = []
+    if config.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(config.grad_clip))
+    if config.weight_decay > 0:
+        chain.append(optax.add_decayed_weights(config.weight_decay))
+    if config.lasso > 0:
+        chain.append(l1_penalty(config.lasso))
+    chain.append(optax.adam(schedule))
+    return optax.chain(*chain), schedule
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int
+    epoch: int
+    best_val_loss: float
+    epochs_since_best: int
+
+
+def make_train_step(predictor, optimizer, class_num: int = 1):
+    """Returns jitted (params, opt_state, batch_arrays, rng) -> updated."""
+
+    def loss_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2, labels, rng):
+        logits = predictor.apply(
+            {"params": params},
+            atoms1, adj1, atoms2, adj2, mask1, mask2,
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        if class_num == 1:
+            logits = jnp.reshape(logits, labels.shape)
+        loss = sigmoid_cross_entropy(logits, labels)
+        return loss, logits
+
+    @jax.jit
+    def step_fn(params, opt_state, atoms1, adj1, atoms2, adj2, mask1, mask2, labels, rng):
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, atoms1, adj1, atoms2, adj2, mask1, mask2, labels, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, logits
+
+    return step_fn
+
+
+def make_eval_step(predictor):
+    @jax.jit
+    def eval_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2):
+        return predictor.apply(
+            {"params": params}, atoms1, adj1, atoms2, adj2, mask1, mask2,
+            deterministic=True,
+        )
+
+    return eval_fn
+
+
+def collect_logits(
+    eval_fn, params, ds: PairDataset, batch_size: int, pad_to: Optional[int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-dataset logits (BatchEvaluator pattern)."""
+    logits_all: List[np.ndarray] = []
+    labels_all: List[np.ndarray] = []
+    for batch in batch_iterator(
+        ds, batch_size, shuffle=False, pad_to=pad_to, drop_remainder=False
+    ):
+        out = eval_fn(
+            params, batch.atoms1, batch.adj1, batch.atoms2, batch.adj2,
+            batch.mask1, batch.mask2,
+        )
+        labels = np.asarray(batch.labels)
+        logits = np.asarray(out).reshape(labels.shape)
+        # drop fill rows (label -1) appended by the fixed-shape batcher
+        valid = (labels >= 0).all(axis=-1) if labels.ndim > 1 else labels >= 0
+        logits_all.append(logits[valid])
+        labels_all.append(labels[valid])
+    return np.concatenate(logits_all, axis=0), np.concatenate(labels_all, axis=0)
+
+
+class Trainer:
+    """Binary / multi-label DDI trainer.
+
+    Usage::
+
+        t = Trainer(config, train_ds, val_ds)
+        result = t.fit()
+    """
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        train_ds: PairDataset,
+        val_ds: Optional[PairDataset] = None,
+        predictor=None,
+    ):
+        from gcnbmp_tpu.models import set_up_predictor
+
+        self.config = config
+        rng = np.random.default_rng(config.seed)
+        if config.augment:
+            train_ds = train_ds.augment_swap()
+        if config.balance:
+            train_ds = train_ds.rebalance(rng)
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.np_rng = rng
+        self.predictor = predictor or set_up_predictor(
+            method=config.method,
+            fp_hidden_dim=config.fp_hidden_dim,
+            fp_out_dim=config.fp_out_dim,
+            conv_layers=config.conv_layers,
+            concat_hidden=config.concat_hidden,
+            layer_aggregator=config.layer_aggregator,
+            fp_dropout_rate=config.fp_dropout_rate,
+            fp_batch_normalization=config.fp_batch_normalization,
+            weight_tying=config.weight_tying,
+            sim_method=config.sim_method,
+            class_num=config.class_num,
+            net_hidden_dims=config.net_hidden_dims,
+            attn_model=config.attn,
+            siamese=config.siamese,
+            symmetric=config.symmetric,
+            mask_padding=config.mask_padding,
+        )
+        self.steps_per_epoch = max(1, len(self.train_ds) // config.batch_size)
+        self.optimizer, self.schedule = build_optimizer(config, self.steps_per_epoch)
+        # fixed pad size for the whole run -> one jit shape (remote TPU
+        # compiles are expensive; see data/dataset.py fill_batch_to)
+        self.pad_to = config.max_pad
+        if self.pad_to is None:
+            from gcnbmp_tpu.data.dataset import bucket_size
+
+            m = self.train_ds.max_atoms()
+            if val_ds is not None and len(val_ds):
+                m = max(m, val_ds.max_atoms())
+            self.pad_to = bucket_size(m)
+        self.log: List[Dict[str, Any]] = []
+
+    def _init_state(self) -> TrainState:
+        cfg = self.config
+        rng = jax.random.PRNGKey(cfg.seed)
+        init_batch = make_batch(
+            self.train_ds, list(range(min(2, len(self.train_ds)))), pad_to=self.pad_to
+        )
+        variables = self.predictor.init(
+            rng,
+            jnp.asarray(init_batch.atoms1), jnp.asarray(init_batch.adj1),
+            jnp.asarray(init_batch.atoms2), jnp.asarray(init_batch.adj2),
+            jnp.asarray(init_batch.mask1), jnp.asarray(init_batch.mask2),
+        )
+        params = variables["params"]
+        opt_state = self.optimizer.init(params)
+        return TrainState(params, opt_state, 0, 0, float("inf"), 0)
+
+    def fit(self, max_epochs: Optional[int] = None) -> Dict[str, Any]:
+        cfg = self.config
+        state = self._init_state()
+        if cfg.resume:
+            from gcnbmp_tpu.train.checkpoints import restore_checkpoint
+
+            state = restore_checkpoint(cfg.resume, state)
+            logger.info("resumed from %s at epoch %d", cfg.resume, state.epoch)
+        train_step = make_train_step(self.predictor, self.optimizer, cfg.class_num)
+        eval_step = make_eval_step(self.predictor)
+        dropout_rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        max_epochs = max_epochs or cfg.epochs
+        t0 = time.time()
+        for epoch in range(state.epoch, max_epochs):
+            epoch_losses = []
+            for batch in batch_iterator(
+                self.train_ds, cfg.batch_size, shuffle=True, rng=self.np_rng,
+                pad_to=self.pad_to, drop_remainder=True,
+            ):
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                state.params, state.opt_state, loss, _ = train_step(
+                    state.params, state.opt_state,
+                    jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
+                    jnp.asarray(batch.atoms2), jnp.asarray(batch.adj2),
+                    jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
+                    jnp.asarray(batch.labels), sub,
+                )
+                epoch_losses.append(float(loss))
+                state.step += 1
+            state.epoch = epoch + 1
+
+            entry: Dict[str, Any] = {
+                "epoch": state.epoch,
+                "main/loss": float(np.mean(epoch_losses)) if epoch_losses else None,
+                "lr": float(self.schedule(state.step)),
+                "elapsed_time": time.time() - t0,
+            }
+            # epoch-end evaluators on train & val (reference :607-671)
+            tr_logits, tr_labels = collect_logits(
+                eval_step, state.params, self.train_ds, cfg.batch_size, self.pad_to
+            )
+            for k, v in compute_metrics(tr_logits, tr_labels, cfg.class_num).items():
+                entry[f"train/{k}"] = v
+            val_loss = None
+            if self.val_ds is not None and len(self.val_ds):
+                v_logits, v_labels = collect_logits(
+                    eval_step, state.params, self.val_ds, cfg.batch_size, self.pad_to
+                )
+                val_loss = float(
+                    sigmoid_cross_entropy(
+                        jnp.asarray(v_logits.reshape(v_labels.shape)),
+                        jnp.asarray(v_labels),
+                    )
+                )
+                entry["val/loss"] = val_loss
+                for k, v in compute_metrics(v_logits, v_labels, cfg.class_num).items():
+                    entry[f"val/{k}"] = v
+            self.log.append(entry)
+            logger.info("%s", json.dumps(entry))
+            with open(os.path.join(cfg.out_dir, "log.json"), "w") as f:
+                json.dump(self.log, f, indent=2)
+
+            if state.epoch % cfg.snapshot_interval == 0:
+                from gcnbmp_tpu.train.checkpoints import save_checkpoint
+
+                save_checkpoint(
+                    os.path.join(cfg.out_dir, f"snapshot_epoch_{state.epoch}"), state
+                )
+
+            # early stopping on val loss (reference :595, patience 10)
+            if val_loss is not None:
+                if val_loss < state.best_val_loss - 1e-12:
+                    state.best_val_loss = val_loss
+                    state.epochs_since_best = 0
+                    from gcnbmp_tpu.train.checkpoints import save_checkpoint
+
+                    save_checkpoint(os.path.join(cfg.out_dir, "best"), state)
+                else:
+                    state.epochs_since_best += 1
+                    if state.epochs_since_best >= cfg.early_stop_patience:
+                        logger.info(
+                            "early stop at epoch %d (best val loss %.5f)",
+                            state.epoch, state.best_val_loss,
+                        )
+                        break
+
+        from gcnbmp_tpu.train.checkpoints import save_checkpoint
+
+        save_checkpoint(os.path.join(cfg.out_dir, "final"), state)
+        return {"state": state, "log": self.log}

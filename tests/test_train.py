@@ -1,0 +1,110 @@
+"""End-to-end training tests on a tiny synthetic task (the sample200-style
+smoke run of SURVEY §4c): label = 1 iff both molecules contain oxygen —
+learnable from atom identities alone."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gcnbmp_tpu.chem import mol_from_smiles, GGNNFeaturizer
+from gcnbmp_tpu.data.dataset import PairDataset
+from gcnbmp_tpu.train import TrainConfig, Trainer
+from gcnbmp_tpu.train.metrics import binary_metrics, multilabel_metrics
+
+OXY = ["CCO", "CC(=O)O", "OCCO", "C=O", "COC", "OC1CCCCC1"]
+NO_OXY = ["CC", "CCC", "c1ccccc1", "CCN", "C#N", "C1CCCCC1"]
+
+
+def _toy_dataset(n_pairs=48, seed=0):
+    rng = np.random.default_rng(seed)
+    f = GGNNFeaturizer()
+    ds = PairDataset()
+    for _ in range(n_pairs):
+        if rng.random() < 0.5:
+            s1, s2, y = rng.choice(OXY), rng.choice(OXY), 1.0
+        else:
+            s1 = rng.choice(NO_OXY)
+            s2 = rng.choice(OXY) if rng.random() < 0.5 else rng.choice(NO_OXY)
+            y = 0.0
+        ds.append(f(mol_from_smiles(s1)), f(mol_from_smiles(s2)), np.float32(y))
+    return ds
+
+
+@pytest.mark.parametrize("sim_method", ["hole", "ntn"])
+def test_train_loss_decreases(tmp_path, sim_method):
+    ds = _toy_dataset()
+    cfg = TrainConfig(
+        method="ggnn", sim_method=sim_method, fp_hidden_dim=8, fp_out_dim=8,
+        conv_layers=2, batch_size=8, learning_rate=5e-3, epochs=15,
+        early_stop_patience=100, out_dir=str(tmp_path / "out"),
+        snapshot_interval=100, seed=0,
+    )
+    result = Trainer(cfg, ds, val_ds=_toy_dataset(seed=1)).fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert log[-1]["train/accuracy"] > 0.7
+    assert log[-1]["train/roc_auc"] > 0.8
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ds = _toy_dataset(n_pairs=16)
+    cfg = TrainConfig(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, batch_size=8,
+        epochs=2, out_dir=str(tmp_path / "out"), snapshot_interval=1, seed=0,
+        early_stop_patience=100,
+    )
+    trainer = Trainer(cfg, ds, val_ds=ds)
+    result = trainer.fit()
+    state = result["state"]
+
+    from gcnbmp_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    template = trainer._init_state()
+    restored = restore_checkpoint(path, template)
+    assert restored.epoch == state.epoch
+    assert restored.step == state.step
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues(tmp_path):
+    ds = _toy_dataset(n_pairs=16)
+    out = str(tmp_path / "out")
+    cfg = TrainConfig(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, batch_size=8,
+        epochs=2, out_dir=out, snapshot_interval=2, seed=0,
+        early_stop_patience=100,
+    )
+    Trainer(cfg, ds, val_ds=ds).fit()
+    cfg2 = TrainConfig(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, batch_size=8,
+        epochs=4, out_dir=out, snapshot_interval=2, seed=0,
+        early_stop_patience=100, resume=os.path.join(out, "snapshot_epoch_2"),
+    )
+    result = Trainer(cfg2, ds, val_ds=ds).fit()
+    assert result["state"].epoch == 4
+
+
+def test_binary_metrics_values():
+    logits = np.array([3.0, -3.0, 2.0, -1.0])
+    labels = np.array([1, 0, 1, 1])
+    m = binary_metrics(logits, labels)
+    assert m["accuracy"] == 0.75
+    assert 0.0 <= m["roc_auc"] <= 1.0
+    assert m["f1"] == pytest.approx(2 * 2 / (2 * 2 + 0 + 1))
+
+
+def test_multilabel_metrics_skips_degenerate_columns():
+    logits = np.array([[2.0, 1.0], [-2.0, 1.0]])
+    labels = np.array([[1, 1], [0, 1]])  # col 1 is all-positive -> skipped for auc
+    m = multilabel_metrics(logits, labels)
+    assert m["roc_auc"] == 1.0
+    assert np.isfinite(m["accuracy"])
