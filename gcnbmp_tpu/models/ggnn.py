@@ -60,9 +60,9 @@ class GatedReadout(nn.Module):
         return jnp.sum(g, axis=-2)  # sum over atom axis: (B, N, D) -> (B, D)
 
 
-class GGNNUpdate(nn.Module):
-    """One message-passing step: edge-type messages + GRU update
-    (reference: models/ggnn.py:215-263)."""
+class GGNNMessage(nn.Module):
+    """Edge-type-conditioned message computation + aggregation
+    (reference: models/ggnn.py:222-242, 'matrix_multiply' message fn)."""
 
     hidden_dim: int
 
@@ -75,7 +75,19 @@ class GGNNUpdate(nn.Module):
         m = GraphLinear(NUM_EDGE_TYPE * self.hidden_dim, name="message")(h)
         m = m.reshape(b, n, self.hidden_dim, NUM_EDGE_TYPE)
         m = jnp.transpose(m, (0, 3, 1, 2))  # (B, E, N, H)
-        m = edge_type_aggregate(adj, m)  # (B, N, H)
+        return edge_type_aggregate(adj, m)  # (B, N, H)
+
+
+class GGNNUpdate(nn.Module):
+    """One message-passing step: messages + shared-GRU update.  Kept for
+    standalone use (SURVEY §2.2 reusable blocks); note the full GGNN
+    shares ONE GRU across all layers (see GGNN below)."""
+
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+        m = GGNNMessage(self.hidden_dim, name="msg")(h, adj)
         x = jnp.concatenate([h, m], axis=-1)
         return ChainerGRUCell(self.hidden_dim, name="gru")(h, x)
 
@@ -113,10 +125,15 @@ class GGNN(nn.Module):
             h = atoms
         h0 = h
 
+        # Per-layer message linears when untied, but ONE GRU shared across
+        # all layers — the reference constructs a single
+        # ``self.update_layer = links.GRU`` regardless of weight_tying
+        # (models/ggnn.py:132) whose state chains across layers.
         n_message = 1 if self.weight_tying else self.n_layers
-        updates = [
-            GGNNUpdate(self.hidden_dim, name=f"update_{i}") for i in range(n_message)
+        messages = [
+            GGNNMessage(self.hidden_dim, name=f"update_{i}") for i in range(n_message)
         ]
+        gru = ChainerGRUCell(self.hidden_dim, name="gru")
         n_readout = self.n_layers if self.concat_hidden else 1
         readout_dim = self.out_dim
         if self.layer_aggregator == "concat":
@@ -133,9 +150,13 @@ class GGNN(nn.Module):
 
         g_list = []
         h_list = []
+        gru_state = jnp.zeros_like(h)  # reset_state() (reference :601)
         for step in range(self.n_layers):
-            upd = updates[0 if self.weight_tying else step]
-            h = upd(h, adj)
+            msg = messages[0 if self.weight_tying else step]
+            m = msg(h, adj)
+            x = jnp.concatenate([h, m], axis=-1)
+            gru_state = gru(gru_state, x)
+            h = gru_state
             if self.batch_normalization:
                 h = nn.BatchNorm(
                     use_running_average=deterministic, name=f"bn_{step}"

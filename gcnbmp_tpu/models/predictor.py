@@ -121,6 +121,7 @@ def set_up_predictor(
 
     def make_encoder(name: str) -> nn.Module:
         return ENCODERS[method](
+            name=name,
             out_dim=fp_out_dim,
             hidden_dim=fp_hidden_dim,
             n_layers=conv_layers,
@@ -129,7 +130,6 @@ def set_up_predictor(
             dropout_rate=fp_dropout_rate,
             batch_normalization=fp_batch_normalization,
             weight_tying=weight_tying,
-            name=name,
         )
 
     if sim_method not in HEADS:

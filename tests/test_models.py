@@ -35,6 +35,11 @@ def ref_ggnn_forward(params, atoms, adj, n_layers, hidden_dim, weight_tying, mas
     h = emb[atoms]  # (B, N, H)
     h0 = h.copy()
     b, n, ch = h.shape
+    # ONE GRU shared across layers (reference models/ggnn.py:132); its
+    # state starts from reset_state() (None -> zeros) and then chains as
+    # the previous GRU output across layers.
+    gru = params["gru"]
+    state = np.zeros_like(h)
     for step in range(n_layers):
         upd = params[f"update_{0 if weight_tying else step}"]
         # message: GraphLinear h -> 4h, reshape (B,N,H,4) -> (B,4,N,H)
@@ -42,13 +47,13 @@ def ref_ggnn_forward(params, atoms, adj, n_layers, hidden_dim, weight_tying, mas
         m = m.reshape(b, n, ch, 4).transpose(0, 3, 1, 2)
         # adjacency aggregation + sum over edge types
         m = np.einsum("beij,bejh->bih", adj, m)
-        # GRU(concat(h, m)) with state = h
+        # GRU input = concat(h, m); recurrent state = previous output
         x = np.concatenate([h, m], axis=-1)
-        gru = upd["gru"]
-        z = _sigmoid(_dense(gru["W_z"], x) + _dense(gru["U_z"], h))
-        r = _sigmoid(_dense(gru["W_r"], x) + _dense(gru["U_r"], h))
-        h_bar = np.tanh(_dense(gru["W"], x) + _dense(gru["U"], r * h))
-        h = z * h_bar + (1.0 - z) * h
+        z = _sigmoid(_dense(gru["W_z"], x) + _dense(gru["U_z"], state))
+        r = _sigmoid(_dense(gru["W_r"], x) + _dense(gru["U_r"], state))
+        h_bar = np.tanh(_dense(gru["W"], x) + _dense(gru["U"], r * state))
+        state = z * h_bar + (1.0 - z) * state
+        h = state
     ro = params["readout_0"]
     gate = _sigmoid(_dense(ro["i"]["dense"], np.concatenate([h, h0], axis=-1)))
     g = gate * _dense(ro["j"]["dense"], h)
