@@ -60,7 +60,7 @@ DRUG_SMILES = [
     "OCC(O)C(O)C(O)C(O)CO",
 ]
 
-BATCH = 512
+BATCH = 2048
 PAD_N = 48
 HIDDEN = 32
 LAYERS = 8
@@ -70,9 +70,9 @@ CPU_ITERS = 2
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_cache.json")
 
 
-def build_batch():
+def build_dataset():
     from gcnbmp_tpu.chem import GGNNFeaturizer, mol_from_smiles
-    from gcnbmp_tpu.data.dataset import PairDataset, make_batch
+    from gcnbmp_tpu.data.dataset import PairDataset
 
     f = GGNNFeaturizer()
     graphs = [f(mol_from_smiles(s)) for s in DRUG_SMILES]
@@ -82,7 +82,13 @@ def build_batch():
         g1 = graphs[int(rng.integers(len(graphs)))]
         g2 = graphs[int(rng.integers(len(graphs)))]
         ds.append(g1, g2, np.float32(rng.integers(0, 2)))
-    return make_batch(ds, list(range(BATCH)), pad_to=PAD_N)
+    return ds
+
+
+def build_batch():
+    from gcnbmp_tpu.data.dataset import make_batch
+
+    return make_batch(build_dataset(), list(range(BATCH)), pad_to=PAD_N)
 
 
 def build_step():
@@ -124,16 +130,72 @@ def measure(device, iters):
     opt_state = jax.device_put(optimizer.init(params), device)
     for _ in range(WARMUP):
         params, opt_state, loss = step(params, opt_state, a1, j1, a2, j2, m1, m2, y)
-    loss.block_until_ready()
+    float(loss)  # force execution: block_until_ready is unreliable on the
+    # axon relay — only a value fetch guarantees completion
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss = step(params, opt_state, a1, j1, a2, j2, m1, m2, y)
-    loss.block_until_ready()
+    assert np.isfinite(float(loss))  # forces the whole chained pipeline
     dt = (time.perf_counter() - t0) / iters
     # directed edges actually processed per step (both molecules, all 8 layers
     # count once per step by convention — edges/s measures graph throughput)
     edges = float(batch.num_edges)
     return edges / dt, dt, edges
+
+
+def build_packed_step():
+    from gcnbmp_tpu.models.packed import make_packed_predictor
+    from gcnbmp_tpu.train.loop import sigmoid_cross_entropy
+
+    predictor = make_packed_predictor(
+        fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
+        weight_tying=False, sim_method="hole",
+    )
+    optimizer = optax.adam(1e-3)
+
+    def loss_fn(params, atom_ids, adj, mol_id, node_mask, li, ri, y):
+        logits = predictor.apply(
+            {"params": params}, atom_ids, adj, mol_id, node_mask, li, ri
+        )
+        return sigmoid_cross_entropy(jnp.reshape(logits, y.shape), y)
+
+    @jax.jit
+    def step(params, opt_state, atom_ids, adj, mol_id, node_mask, li, ri, y):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, atom_ids, adj, mol_id, node_mask, li, ri, y
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return predictor, optimizer, step
+
+
+def measure_packed(device, iters):
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+
+    ds = build_dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(BATCH)))
+    predictor, optimizer, step = build_packed_step()
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    args = (
+        put(packed.atom_ids), put(packed.adj), put(packed.mol_id),
+        put(packed.node_mask), put(packed.left_index), put(packed.right_index),
+    )
+    y = put(packed.labels)
+    variables = predictor.init(jax.random.PRNGKey(0), *args)
+    params = jax.device_put(variables["params"], device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+    for _ in range(WARMUP):
+        params, opt_state, loss = step(params, opt_state, *args, y)
+    float(loss)  # force execution (see measure())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, *args, y)
+    assert np.isfinite(float(loss))
+    dt = (time.perf_counter() - t0) / iters
+    edges = float(packed.num_edges)
+    return edges / dt, dt, edges, packed.occupancy, packed.num_tiles
 
 
 def cpu_baseline():
@@ -156,8 +218,14 @@ def cpu_baseline():
 def main():
     device = jax.devices()[0]
     print(f"# device: {device}", file=sys.stderr)
-    eps, dt, edges = measure(device, ITERS)
-    print(f"# step {dt*1e3:.2f} ms, {edges:.0f} edges/batch", file=sys.stderr)
+    eps_pad, dt_pad, edges = measure(device, ITERS)
+    print(f"# padded: step {dt_pad*1e3:.2f} ms, {edges:.0f} edges/batch, "
+          f"{eps_pad/1e6:.1f}M edges/s", file=sys.stderr)
+    eps_pk, dt_pk, edges_pk, occ, tiles = measure_packed(device, ITERS)
+    print(f"# packed: step {dt_pk*1e3:.2f} ms, {edges_pk:.0f} edges/batch, "
+          f"{tiles} tiles, occupancy {occ:.2f}, {eps_pk/1e6:.1f}M edges/s",
+          file=sys.stderr)
+    eps = max(eps_pad, eps_pk)
     cpu_eps = cpu_baseline()
     vs = eps / (8.0 * cpu_eps) if cpu_eps else None
     print(json.dumps({

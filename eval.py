@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Offline evaluation CLI — the equivalent of the reference's eval.py /
+eval_coattention.py: load a trained checkpoint, run the predictor over a
+test pair CSV, write metrics (eval_result.json) and embedding exports
+(<test>_e.csv, <test>_e_y.csv, drug_list_with_representation.csv).
+
+Example:
+    python eval.py --test test.csv --run results/run1 --out results/run1/eval
+    python eval.py --test test.csv --run results/run1 --checkpoint best \
+        --similarity cosine --saliency gradient
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--test", required=True, help="test pair CSV")
+    p.add_argument("--run", required=True,
+                   help="training output dir (contains config.json + checkpoints)")
+    p.add_argument("--checkpoint", default="best",
+                   help="checkpoint name under the run dir (best/final/snapshot_epoch_N)")
+    p.add_argument("--out", default=None, help="output dir (default <run>/eval)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--similarity", default=None,
+                   choices=["cosine", "jaccard", "extended-jaccard"],
+                   help="also write a drug-drug similarity matrix CSV")
+    p.add_argument("--saliency", default=None,
+                   choices=["gradient", "integrated", "bayes"],
+                   help="also render saliency SVGs for the first pairs")
+    p.add_argument("--saliency-count", type=int, default=4)
+    p.add_argument("--platform", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    logging.basicConfig(level=logging.INFO)
+
+    import numpy as np
+
+    from gcnbmp_tpu.data.parsers import CSVPairParser
+    from gcnbmp_tpu.eval.evaluate import evaluate_dataset
+    from gcnbmp_tpu.models import set_up_predictor
+    from gcnbmp_tpu.train import TrainConfig, Trainer
+    from gcnbmp_tpu.train.checkpoints import restore_checkpoint
+
+    with open(os.path.join(args.run, "config.json")) as f:
+        cfg = TrainConfig.from_json(f.read())
+
+    parser = CSVPairParser()
+    res = parser.parse(args.test)
+    ds = res.dataset
+    logging.info("test: %d pairs (%d failed)", len(ds), res.fail_count)
+
+    # rebuild predictor and restore weights
+    trainer = Trainer(cfg, ds, None)
+    template = trainer._init_state()
+    state = restore_checkpoint(os.path.join(args.run, args.checkpoint), template)
+    out_dir = args.out or os.path.join(args.run, "eval")
+
+    result = evaluate_dataset(
+        trainer.predictor, state.params, ds, out_dir=out_dir,
+        source_csv=args.test, batch_size=args.batch_size,
+        class_num=cfg.class_num, is_successful=res.is_successful,
+    )
+    print(json.dumps(result.metrics))
+
+    if args.similarity:
+        from gcnbmp_tpu.eval.similarity import similarity_csv
+
+        ids = [s for pair in ds.smiles_pairs for s in pair]
+        emb = np.concatenate([result.e1, result.e2])
+        uniq = {}
+        for i, s in enumerate(ids):
+            uniq.setdefault(s, emb[i])
+        similarity_csv(
+            np.stack(list(uniq.values())), list(uniq.keys()),
+            method=args.similarity,
+            out_path=os.path.join(out_dir, f"similarity_{args.similarity}.csv"),
+        )
+        logging.info("similarity matrix written")
+
+    if args.saliency:
+        from gcnbmp_tpu.chem import mol_from_smiles
+        from gcnbmp_tpu.data.dataset import make_batch
+        from gcnbmp_tpu.eval.saliency import atom_saliency, render_molecule_svg
+
+        k = min(args.saliency_count, len(ds))
+        batch = make_batch(ds, list(range(k)))
+        sal = atom_saliency(
+            trainer.predictor, state.params,
+            batch.atoms1, batch.adj1, batch.atoms2, batch.adj2,
+            batch.mask1, batch.mask2, method=args.saliency,
+        )
+        os.makedirs(os.path.join(out_dir, "saliency"), exist_ok=True)
+        for i in range(k):
+            for side, key in (("mol1", 0), ("mol2", 1)):
+                smi = ds.smiles_pairs[i][key]
+                mol = mol_from_smiles(smi)
+                svg = render_molecule_svg(mol, sal[side][i])
+                with open(
+                    os.path.join(out_dir, "saliency", f"pair{i}_{side}.svg"), "w"
+                ) as f:
+                    f.write(svg)
+        logging.info("saliency SVGs written")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,151 @@
+"""Offline evaluation: metrics + per-pair drug-embedding export.
+
+Re-expresses the reference's MyEvaluator + CSV exports
+(eval_coattention.py:149-330 evaluate loop collecting y/t and the two
+drug embeddings e1/e2; :355-398 add_representations /
+add_representations_and_y; :462-468 eval_result.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from gcnbmp_tpu.data.dataset import PairDataset, batch_iterator
+from gcnbmp_tpu.train.metrics import compute_metrics
+
+
+@dataclass
+class EvalResult:
+    logits: np.ndarray
+    labels: np.ndarray
+    e1: np.ndarray
+    e2: np.ndarray
+    metrics: Dict[str, float]
+
+
+class PairEvaluator:
+    """Runs predictor.predict over a dataset, collecting logits, labels,
+    and the pair's molecular embeddings."""
+
+    def __init__(self, predictor, params, batch_size: int = 32,
+                 pad_to: Optional[int] = None, class_num: int = 1):
+        self.predictor = predictor
+        self.params = params
+        self.batch_size = batch_size
+        self.pad_to = pad_to
+        self.class_num = class_num
+
+        @jax.jit
+        def eval_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2):
+            logits, aux = predictor.apply(
+                {"params": params}, atoms1, adj1, atoms2, adj2, mask1, mask2,
+                deterministic=True, return_aux=True,
+            )
+            return logits, aux["g1"], aux["g2"]
+
+        self._eval_fn = eval_fn
+
+    def evaluate(self, ds: PairDataset) -> EvalResult:
+        logits_all, labels_all, e1_all, e2_all = [], [], [], []
+        if self.pad_to is None:
+            from gcnbmp_tpu.data.dataset import bucket_size
+
+            pad_to = bucket_size(ds.max_atoms())
+        else:
+            pad_to = self.pad_to
+        for batch in batch_iterator(
+            ds, self.batch_size, shuffle=False, pad_to=pad_to
+        ):
+            logits, g1, g2 = self._eval_fn(
+                self.params,
+                jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
+                jnp.asarray(batch.atoms2), jnp.asarray(batch.adj2),
+                jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
+            )
+            labels = np.asarray(batch.labels)
+            logits = np.asarray(logits).reshape(
+                labels.shape if self.class_num == 1 else (labels.shape[0], -1)
+            )
+            valid = (
+                (labels >= 0).all(axis=-1) if labels.ndim > 1 else labels >= 0
+            )
+            logits_all.append(logits[valid])
+            labels_all.append(labels[valid])
+            e1_all.append(np.asarray(g1)[valid])
+            e2_all.append(np.asarray(g2)[valid])
+        logits = np.concatenate(logits_all)
+        labels = np.concatenate(labels_all)
+        metrics = compute_metrics(logits, labels, self.class_num)
+        return EvalResult(
+            logits=logits, labels=labels,
+            e1=np.concatenate(e1_all), e2=np.concatenate(e2_all),
+            metrics=metrics,
+        )
+
+
+def _float_list_to_str(v: np.ndarray) -> str:
+    return " ".join(f"{x:.6g}" for x in np.ravel(v))
+
+
+def export_representations(
+    source_csv: str,
+    out_dir: str,
+    result: EvalResult,
+    id_cols: Tuple[str, str] = ("drugbank_id_1", "drugbank_id_2"),
+    generate_drug_list: bool = True,
+    is_successful: Optional[np.ndarray] = None,
+) -> None:
+    """Write <test>_e.csv, <test>_e_y.csv, drug_list_with_representation.csv
+    (reference: eval_coattention.py:355-398)."""
+    os.makedirs(out_dir, exist_ok=True)
+    df = pd.read_csv(source_csv)
+    if is_successful is not None:
+        df = df[np.asarray(is_successful)].reset_index(drop=True)
+    base = os.path.splitext(os.path.basename(source_csv))[0]
+    e1 = [_float_list_to_str(x) for x in result.e1]
+    e2 = [_float_list_to_str(x) for x in result.e2]
+    out = df.copy()
+    out.insert(len(out.columns) - 1, "e1", e1)
+    out.insert(len(out.columns) - 1, "e2", e2)
+    out.to_csv(os.path.join(out_dir, f"{base}_e.csv"), index=False)
+    out_y = out.copy()
+    probs = 1.0 / (1.0 + np.exp(-result.logits))
+    out_y["y"] = list(np.ravel(probs) if probs.ndim == 1 else probs.tolist())
+    out_y.to_csv(os.path.join(out_dir, f"{base}_e_y.csv"), index=False)
+    if generate_drug_list and all(c in df.columns for c in id_cols):
+        mapping = dict(zip(df[id_cols[0]], e1))
+        mapping.update(dict(zip(df[id_cols[1]], e2)))
+        pd.DataFrame(
+            {"cid": list(mapping.keys()), "entity": list(mapping.values())}
+        ).to_csv(
+            os.path.join(out_dir, "drug_list_with_representation.csv"),
+            index=False,
+        )
+
+
+def evaluate_dataset(
+    predictor, params, ds: PairDataset, out_dir: Optional[str] = None,
+    source_csv: Optional[str] = None, batch_size: int = 32,
+    class_num: int = 1, is_successful: Optional[np.ndarray] = None,
+) -> EvalResult:
+    """One-call evaluation + optional exports + eval_result.json."""
+    result = PairEvaluator(
+        predictor, params, batch_size=batch_size, class_num=class_num
+    ).evaluate(ds)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "eval_result.json"), "w") as f:
+            json.dump(result.metrics, f, indent=2)
+        if source_csv:
+            export_representations(
+                source_csv, out_dir, result, is_successful=is_successful
+            )
+    return result

@@ -122,6 +122,9 @@ class GGNN(nn.Module):
         if jnp.issubdtype(atoms.dtype, jnp.integer):
             h = EmbedAtomID(self.n_atom_types, self.hidden_dim, name="embed")(atoms)
         else:
+            # pre-embedded float inputs (reference dtype dispatch,
+            # models/ggnn.py:598-603); also the saliency entry point —
+            # eval/saliency.py differentiates w.r.t. these embeddings
             h = atoms
         h0 = h
 

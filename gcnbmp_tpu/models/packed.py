@@ -1,0 +1,165 @@
+"""Packed-supergraph GGNN forward — parameter-compatible with the padded
+GGNN so trained weights swap freely between the two layouts.
+
+Consumes PackedGraphBatch arrays (data/packing.py): tiles of 128 atoms
+holding several molecules each.  Message passing runs per tile on the
+MXU; the gated readout becomes a sorted segment-sum over molecule ids.
+Parameter tree matches models/ggnn.py exactly: embed, update_i/message/
+dense, gru/{W,U,...}, readout_0/{i,j}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gcnbmp_tpu.models.ggnn import GGNNMessage
+from gcnbmp_tpu.models.layers import (
+    ChainerGRUCell,
+    EmbedAtomID,
+    GraphLinear,
+    MAX_ATOMIC_NUM,
+)
+
+
+class PackedGatedReadout(nn.Module):
+    """Node-level gate * value; molecule sums happen outside via
+    segment_sum.  Param names match GatedReadout (i, j)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, h, h0, node_mask):
+        gate = jax.nn.sigmoid(
+            GraphLinear(self.out_dim, name="i")(jnp.concatenate([h, h0], axis=-1))
+        )
+        g = gate * GraphLinear(self.out_dim, name="j")(h)
+        return g * node_mask[..., None]
+
+
+class PackedGGNN(nn.Module):
+    """GGNN forward over packed tiles.
+
+    __call__(atom_ids (P,T), adj (P,4,T,T), mol_id (P,T), node_mask (P,T),
+             num_mols: static int) -> (g (num_mols, out_dim), aux)
+    """
+
+    out_dim: int
+    hidden_dim: int = 16
+    n_layers: int = 4
+    n_atom_types: int = MAX_ATOMIC_NUM
+    weight_tying: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        atom_ids: jnp.ndarray,
+        adj: jnp.ndarray,
+        mol_id: jnp.ndarray,
+        node_mask: jnp.ndarray,
+        num_mols: int,
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        h = EmbedAtomID(self.n_atom_types, self.hidden_dim, name="embed")(atom_ids)
+        h0 = h
+        n_message = 1 if self.weight_tying else self.n_layers
+        messages = [
+            GGNNMessage(self.hidden_dim, name=f"update_{i}") for i in range(n_message)
+        ]
+        gru = ChainerGRUCell(self.hidden_dim, name="gru")
+        gru_state = jnp.zeros_like(h)
+        for step in range(self.n_layers):
+            m = messages[0 if self.weight_tying else step](h, adj)
+            x = jnp.concatenate([h, m], axis=-1)
+            gru_state = gru(gru_state, x)
+            h = gru_state
+        g_nodes = PackedGatedReadout(self.out_dim, name="readout_0")(h, h0, node_mask)
+        flat = g_nodes.reshape(-1, self.out_dim)
+        ids = mol_id.reshape(-1)
+        g = jax.ops.segment_sum(
+            flat, ids, num_segments=num_mols + 1, indices_are_sorted=True
+        )[:num_mols]
+        return g, {"atoms": h, "h0": h0}
+
+
+class PackedPairPredictor(nn.Module):
+    """Pair predictor over the packed layout; parameter-compatible with
+    PairPredictor(encoder=GGNN, head=...) for the Siamese, no-coattention
+    configuration (the flagship GGNN+HolE path)."""
+
+    encoder: nn.Module  # a PackedGGNN, name='encoder'
+    head: nn.Module     # name='head'
+
+    @nn.compact
+    def __call__(self, atom_ids, adj, mol_id, node_mask, left_index, right_index):
+        num_mols = 2 * left_index.shape[0]
+        g, _ = self.encoder(atom_ids, adj, mol_id, node_mask, num_mols)
+        g1 = jnp.take(g, left_index, axis=0)
+        g2 = jnp.take(g, right_index, axis=0)
+        return self.head(g1, g2)
+
+
+def fused_pair_logits(
+    predictor: "PackedPairPredictor",
+    params,
+    atom_ids,
+    adj,
+    mol_id,
+    node_mask,
+    left_index,
+    right_index,
+):
+    """Same computation as ``predictor.apply`` but with the message/GRU
+    stack running in the fused Pallas kernel (ops/fused_ggnn.py).
+    Differentiable end-to-end (custom VJP inside); numerically equal to
+    the XLA path and parameter-compatible with it."""
+    from gcnbmp_tpu.ops.fused_ggnn import fused_ggnn, params_to_fused
+
+    enc: PackedGGNN = predictor.encoder
+    ep = params["encoder"]
+    h0 = jnp.take(ep["embed"]["embedding"], atom_ids, axis=0)
+    msg_w, msg_b, gru = params_to_fused(
+        ep, enc.n_layers, enc.weight_tying, enc.hidden_dim
+    )
+    h = fused_ggnn(enc.n_layers, h0, adj, msg_w, msg_b, gru)
+    ro = ep["readout_0"]
+    gate = jax.nn.sigmoid(
+        jnp.concatenate([h, h0], axis=-1) @ ro["i"]["dense"]["kernel"]
+        + ro["i"]["dense"]["bias"]
+    )
+    g_nodes = gate * (h @ ro["j"]["dense"]["kernel"] + ro["j"]["dense"]["bias"])
+    g_nodes = g_nodes * node_mask[..., None]
+    num_mols = 2 * left_index.shape[0]
+    flat = g_nodes.reshape(-1, enc.out_dim)
+    ids = mol_id.reshape(-1)
+    g = jax.ops.segment_sum(
+        flat, ids, num_segments=num_mols + 1, indices_are_sorted=True
+    )[:num_mols]
+    g1 = jnp.take(g, left_index, axis=0)
+    g2 = jnp.take(g, right_index, axis=0)
+    return predictor.head.apply({"params": params["head"]}, g1, g2)
+
+
+def make_packed_predictor(
+    fp_hidden_dim: int = 32,
+    fp_out_dim: int = 32,
+    conv_layers: int = 8,
+    weight_tying: bool = True,
+    sim_method: str = "hole",
+    class_num: int = 1,
+    net_hidden_dims=(),
+) -> PackedPairPredictor:
+    from gcnbmp_tpu.models.heads import HEADS
+
+    head_kwargs: Dict[str, Any] = {"out_dim": class_num}
+    if sim_method in ("hole", "mlp", "symmlp", "ntn", "dist-mult"):
+        head_kwargs["hidden_dims"] = tuple(net_hidden_dims)
+    return PackedPairPredictor(
+        encoder=PackedGGNN(
+            out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
+            weight_tying=weight_tying, name="encoder",
+        ),
+        head=HEADS[sim_method](name="head", **head_kwargs),
+    )

@@ -89,6 +89,27 @@ class PairPredictor(nn.Module):
         return logits
 
 
+class FixedEmbeddingPredictor(nn.Module):
+    """Scoring heads over fixed precomputed drug embeddings —
+    the reference's DDIPredictor for mol2vec / autoencoder / SSP features
+    (mol2vec_based_model.py:23-77, unsupervised_feature.py:41-95)."""
+
+    head: nn.Module
+    symmetric: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, e1: jnp.ndarray, e2: jnp.ndarray):
+        logits = self.head(e1, e2)
+        if self.symmetric is not None:
+            rev = self.head(e2, e1)
+            logits = (
+                jnp.maximum(logits, rev)
+                if self.symmetric == "or"
+                else jnp.minimum(logits, rev)
+            )
+        return logits
+
+
 def set_up_predictor(
     method: str = "ggnn",
     fp_hidden_dim: int = 16,

@@ -1,0 +1,352 @@
+"""Fused multi-layer GGNN Pallas kernel over packed 128-atom tiles.
+
+The packed XLA path re-reads the (P, 4, 128, 128) adjacency from HBM for
+every layer in forward AND backward (16+ passes for the 8-layer
+flagship).  This kernel runs ALL layers for a block of K tiles in a
+single grid step with the adjacency and per-layer hidden states resident
+in VMEM:
+
+  forward : adjacency read ONCE per tile; writes h_final only.
+  backward: adjacency read once more; per-layer activations are
+            recomputed in VMEM (checkpoint-style), then gradients are
+            backpropagated in reverse with weight grads accumulated
+            across grid steps via the sequential-grid revisited-output-
+            block pattern.
+
+K-tile blocking keeps the MXU throughput-bound instead of latency-bound:
+all weight/GRU matmuls batch over K*128 rows; only the 4 edge-type
+aggregation matmuls run per tile.
+
+Semantics identical to models/ggnn.py's stable path (reference
+models/ggnn.py:215-263): per layer
+
+    hw_e = h @ W_e + b_e                      (per edge type)
+    m    = sum_e A_e @ hw_e
+    x    = [h, m]
+    z    = sigmoid(x Wz + s Uz + bz)
+    r    = sigmoid(x Wr + s Ur + br)
+    n    = tanh(x Wn + (r*s) Un + bn)
+    h'   = z*n + (1-z)*s        s = GRU state: 0 at layer 0, else h
+
+Weight layout: the model's GraphLinear message kernel is (H, 4H) with
+edge type as the FASTEST output axis; ``params_to_fused`` pre-splits it
+into per-edge-type blocks msg_w (L, 4, H, H), msg_b (L, 4, 1, H) so the
+kernel only ever touches offset-0 tiles (a Mosaic-friendliness
+requirement — lane-offset slice concats fail to lower).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+NUM_EDGE_TYPE = 4
+DEFAULT_BLOCK_TILES = 16
+DEFAULT_BWD_BLOCK_TILES = 4
+
+
+def _layer_fwd(k_tiles, h, state, adj, wmsg, bmsg,
+               wz, uz, bz, wr, ur, br, wn, un, bn):
+    """One GGNN layer on a (K*T, H) block; adj: (K, 4, T, T) f32."""
+    t = TILE
+    hw = [
+        jnp.dot(h, wmsg[e], preferred_element_type=jnp.float32) + bmsg[e]
+        for e in range(NUM_EDGE_TYPE)
+    ]  # 4 x (KT, H)
+    m_parts = []
+    for k in range(k_tiles):
+        m_k = jnp.dot(adj[k, 0], hw[0][k * t:(k + 1) * t],
+                      preferred_element_type=jnp.float32)
+        for e in range(1, NUM_EDGE_TYPE):
+            m_k = m_k + jnp.dot(adj[k, e], hw[e][k * t:(k + 1) * t],
+                                preferred_element_type=jnp.float32)
+        m_parts.append(m_k)
+    m = jnp.concatenate(m_parts, axis=0)  # (KT, H)
+    x = jnp.concatenate([h, m], axis=-1)
+    z = jax.nn.sigmoid(
+        jnp.dot(x, wz, preferred_element_type=jnp.float32)
+        + jnp.dot(state, uz, preferred_element_type=jnp.float32) + bz
+    )
+    r = jax.nn.sigmoid(
+        jnp.dot(x, wr, preferred_element_type=jnp.float32)
+        + jnp.dot(state, ur, preferred_element_type=jnp.float32) + br
+    )
+    n = jnp.tanh(
+        jnp.dot(x, wn, preferred_element_type=jnp.float32)
+        + jnp.dot(r * state, un, preferred_element_type=jnp.float32) + bn
+    )
+    return z * n + (1.0 - z) * state, (m, x, z, r, n)
+
+
+def _fwd_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref, bmsg_ref,
+                wz_ref, uz_ref, bz_ref, wr_ref, ur_ref, br_ref,
+                wn_ref, un_ref, bn_ref, out_ref):
+    kt = k_tiles * TILE
+    h = h0_ref[...].reshape(kt, h0_ref.shape[-1])
+    state = jnp.zeros_like(h)
+    adj = adj_ref[...].astype(jnp.float32)
+    for l in range(n_layers):
+        h, _ = _layer_fwd(
+            k_tiles, h, state, adj, wmsg_ref[l], bmsg_ref[l],
+            wz_ref[:], uz_ref[:], bz_ref[:],
+            wr_ref[:], ur_ref[:], br_ref[:],
+            wn_ref[:], un_ref[:], bn_ref[:],
+        )
+        state = h
+    out_ref[...] = h.reshape(out_ref.shape)
+
+
+def _bwd_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref, bmsg_ref,
+                wz_ref, uz_ref, bz_ref, wr_ref, ur_ref, br_ref,
+                wn_ref, un_ref, bn_ref, dh_final_ref,
+                dh0_ref, dwmsg_ref, dbmsg_ref,
+                dwz_ref, duz_ref, dbz_ref, dwr_ref, dur_ref, dbr_ref,
+                dwn_ref, dun_ref, dbn_ref,
+                h_scratch):
+    p = pl.program_id(0)
+
+    @pl.when(p == 0)
+    def _init():
+        for ref in (dwmsg_ref, dbmsg_ref, dwz_ref, duz_ref, dbz_ref,
+                    dwr_ref, dur_ref, dbr_ref, dwn_ref, dun_ref, dbn_ref):
+            ref[...] = jnp.zeros(ref.shape, jnp.float32)
+
+    t = TILE
+    kt = k_tiles * t
+    hidden = h0_ref.shape[-1]
+    adj = adj_ref[...].astype(jnp.float32)
+    weights = (wz_ref[:], uz_ref[:], bz_ref[:], wr_ref[:], ur_ref[:],
+               br_ref[:], wn_ref[:], un_ref[:], bn_ref[:])
+
+    # recompute forward, stashing each layer's input h in VMEM scratch
+    h = h0_ref[...].reshape(kt, hidden)
+    state = jnp.zeros_like(h)
+    for l in range(n_layers):
+        h_scratch[l] = h
+        h, _ = _layer_fwd(k_tiles, h, state, adj, wmsg_ref[l], bmsg_ref[l],
+                          *weights)
+        state = h
+
+    dh = dh_final_ref[...].reshape(kt, hidden)
+    for l in range(n_layers - 1, -1, -1):
+        h_in = h_scratch[l]
+        state = jnp.zeros_like(h_in) if l == 0 else h_scratch[l]
+        _, (m, x, z, r, n) = _layer_fwd(
+            k_tiles, h_in, state, adj, wmsg_ref[l], bmsg_ref[l], *weights
+        )
+        dz = dh * (n - state)
+        dn = dh * z
+        dstate = dh * (1.0 - z)
+        dn_pre = dn * (1.0 - n * n)
+        dz_pre = dz * z * (1.0 - z)
+        drs = jnp.dot(dn_pre, un_ref[:].T, preferred_element_type=jnp.float32)
+        dr = drs * state
+        dstate = dstate + drs * r
+        dr_pre = dr * r * (1.0 - r)
+        dx = (
+            jnp.dot(dz_pre, wz_ref[:].T, preferred_element_type=jnp.float32)
+            + jnp.dot(dr_pre, wr_ref[:].T, preferred_element_type=jnp.float32)
+            + jnp.dot(dn_pre, wn_ref[:].T, preferred_element_type=jnp.float32)
+        )
+        dh_in = dx[:, :hidden]
+        dm = dx[:, hidden:2 * hidden]
+        dstate = dstate + jnp.dot(
+            dz_pre, uz_ref[:].T, preferred_element_type=jnp.float32
+        ) + jnp.dot(dr_pre, ur_ref[:].T, preferred_element_type=jnp.float32)
+
+        # GRU weight grads (batched over the whole K*T block)
+        dwz_ref[...] += jnp.dot(x.T, dz_pre, preferred_element_type=jnp.float32)
+        dwr_ref[...] += jnp.dot(x.T, dr_pre, preferred_element_type=jnp.float32)
+        dwn_ref[...] += jnp.dot(x.T, dn_pre, preferred_element_type=jnp.float32)
+        duz_ref[...] += jnp.dot(state.T, dz_pre, preferred_element_type=jnp.float32)
+        dur_ref[...] += jnp.dot(state.T, dr_pre, preferred_element_type=jnp.float32)
+        dun_ref[...] += jnp.dot((r * state).T, dn_pre,
+                                preferred_element_type=jnp.float32)
+        dbz_ref[...] += jnp.sum(dz_pre, axis=0, keepdims=True)
+        dbr_ref[...] += jnp.sum(dr_pre, axis=0, keepdims=True)
+        dbn_ref[...] += jnp.sum(dn_pre, axis=0, keepdims=True)
+
+        # message backward per edge type: m_k += A_ke @ hw_e[k]
+        for e in range(NUM_EDGE_TYPE):
+            dhw_e = jnp.concatenate(
+                [
+                    jnp.dot(adj[k, e].T, dm[k * t:(k + 1) * t],
+                            preferred_element_type=jnp.float32)
+                    for k in range(k_tiles)
+                ],
+                axis=0,
+            )  # (KT, H)
+            dwmsg_ref[l, e] += jnp.dot(h_in.T, dhw_e,
+                                       preferred_element_type=jnp.float32)
+            dbmsg_ref[l, e] += jnp.sum(dhw_e, axis=0, keepdims=True)
+            dh_in = dh_in + jnp.dot(dhw_e, wmsg_ref[l, e].T,
+                                    preferred_element_type=jnp.float32)
+        # for l >= 1, state IS this layer's input tensor
+        dh = dh_in + (dstate if l > 0 else 0.0)
+
+    dh0_ref[...] = dh.reshape(dh0_ref.shape)
+
+
+def _weight_args(msg_w, msg_b, gru):
+    # msg_w: (L, 4, H, H); msg_b -> (L, 4, 1, H)
+    msg_b2 = msg_b.reshape(msg_b.shape[0], msg_b.shape[1], 1, msg_b.shape[2])
+    return (msg_w, msg_b2, gru["wz"], gru["uz"], gru["bz"].reshape(1, -1),
+            gru["wr"], gru["ur"], gru["br"].reshape(1, -1),
+            gru["wn"], gru["un"], gru["bn"].reshape(1, -1))
+
+
+def _pad_tiles(x, k_tiles):
+    p = x.shape[0]
+    rem = (-p) % k_tiles
+    if rem:
+        x = jnp.pad(x, [(0, rem)] + [(0, 0)] * (x.ndim - 1))
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_ggnn(n_layers: int, h0, adj, msg_w, msg_b, gru):
+    """Run n_layers of GGNN over packed tiles.
+
+    Args:
+        h0: (P, T, H) f32 initial node states (embeddings).
+        adj: (P, 4, T, T) adjacency (bf16 recommended — exact for 0/1).
+        msg_w: (L, 4, H, H) per-edge-type message weights.
+        msg_b: (L, 4, H) per-edge-type message biases.
+        gru: dict wz/wr/wn (2H, H), uz/ur/un (H, H), bz/br/bn (H,).
+    Returns:
+        (P, T, H) final node states.
+    """
+    out, _ = _fused_ggnn_fwd(n_layers, h0, adj, msg_w, msg_b, gru)
+    return out
+
+
+def _specs(k, t, h, args, dh=False):
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    specs = [
+        pl.BlockSpec((k, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, NUM_EDGE_TYPE, t, t), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full(args[0].shape), full(args[1].shape),
+        full(args[2].shape), full(args[3].shape), full((1, h)),
+        full(args[5].shape), full(args[6].shape), full((1, h)),
+        full(args[8].shape), full(args[9].shape), full((1, h)),
+    ]
+    if dh:
+        specs.append(
+            pl.BlockSpec((k, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+    return specs
+
+
+def _fused_ggnn_fwd(n_layers, h0, adj, msg_w, msg_b, gru,
+                    block_tiles: int = DEFAULT_BLOCK_TILES):
+    p, t, h = h0.shape
+    k = min(block_tiles, p)
+    args = _weight_args(msg_w, msg_b, gru)
+    adjp = _pad_tiles(adj, k)
+    h0p = _pad_tiles(h0, k)
+    pp = h0p.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_layers, k),
+        out_shape=jax.ShapeDtypeStruct((pp, t, h), jnp.float32),
+        grid=(pp // k,),
+        in_specs=_specs(k, t, h, args),
+        out_specs=pl.BlockSpec((k, t, h), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(h0p, adjp, *args)
+    return out[:p], (h0, adj, msg_w, msg_b, gru)
+
+
+def _fused_ggnn_bwd(n_layers, residuals, dh_final,
+                    block_tiles: int = DEFAULT_BWD_BLOCK_TILES):
+    h0, adj, msg_w, msg_b, gru = residuals
+    p, t, h = h0.shape
+    k = min(block_tiles, p)
+    args = _weight_args(msg_w, msg_b, gru)
+    adjp = _pad_tiles(adj, k)
+    h0p = _pad_tiles(h0, k)
+    dhp = _pad_tiles(dh_final, k)
+    pp = h0p.shape[0]
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    msg_b4 = (msg_b.shape[0], msg_b.shape[1], 1, msg_b.shape[2])
+    out_shapes = (
+        jax.ShapeDtypeStruct((pp, t, h), jnp.float32),      # dh0
+        jax.ShapeDtypeStruct(msg_w.shape, jnp.float32),     # dmsg_w
+        jax.ShapeDtypeStruct(msg_b4, jnp.float32),          # dmsg_b
+        jax.ShapeDtypeStruct((2 * h, h), jnp.float32),      # dwz
+        jax.ShapeDtypeStruct((h, h), jnp.float32),          # duz
+        jax.ShapeDtypeStruct((1, h), jnp.float32),          # dbz
+        jax.ShapeDtypeStruct((2 * h, h), jnp.float32),      # dwr
+        jax.ShapeDtypeStruct((h, h), jnp.float32),          # dur
+        jax.ShapeDtypeStruct((1, h), jnp.float32),          # dbr
+        jax.ShapeDtypeStruct((2 * h, h), jnp.float32),      # dwn
+        jax.ShapeDtypeStruct((h, h), jnp.float32),          # dun
+        jax.ShapeDtypeStruct((1, h), jnp.float32),          # dbn
+    )
+    out_specs = (
+        pl.BlockSpec((k, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        full(msg_w.shape), full(msg_b4),
+        full((2 * h, h)), full((h, h)), full((1, h)),
+        full((2 * h, h)), full((h, h)), full((1, h)),
+        full((2 * h, h)), full((h, h)), full((1, h)),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_layers, k),
+        out_shape=out_shapes,
+        grid=(pp // k,),
+        in_specs=_specs(k, t, h, args, dh=True),
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((n_layers, k * t, h), jnp.float32)],
+    )(h0p, adjp, *args, dhp)
+    (dh0, dmsg_w, dmsg_b, dwz, duz, dbz, dwr, dur, dbr, dwn, dun, dbn) = outs
+    dgru = {
+        "wz": dwz, "uz": duz, "bz": dbz.reshape(-1),
+        "wr": dwr, "ur": dur, "br": dbr.reshape(-1),
+        "wn": dwn, "un": dun, "bn": dbn.reshape(-1),
+    }
+    return (dh0[:p], None, dmsg_w, dmsg_b.reshape(msg_b.shape), dgru)
+
+
+fused_ggnn.defvjp(_fused_ggnn_fwd, _fused_ggnn_bwd)
+
+
+def split_message_kernel(w: jnp.ndarray, hidden: int) -> jnp.ndarray:
+    """(H, 4H) GraphLinear kernel with edge-fastest columns -> per-edge
+    blocks (4, H, H) with W_e[i, c] = W[i, c*4 + e]."""
+    return w.reshape(w.shape[0], hidden, NUM_EDGE_TYPE).transpose(2, 0, 1)
+
+
+def split_message_bias(b: jnp.ndarray, hidden: int) -> jnp.ndarray:
+    return b.reshape(hidden, NUM_EDGE_TYPE).T
+
+
+def params_to_fused(params: dict, n_layers: int, weight_tying: bool,
+                    hidden: int) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Convert a GGNN/PackedGGNN flax param tree ('update_i', 'gru') to
+    the fused kernel's weight format (differentiable — gradients flow
+    back through the permutation/stack to the original layout)."""
+    ws, bs = [], []
+    for l in range(n_layers):
+        d = params[f"update_{0 if weight_tying else l}"]["message"]["dense"]
+        ws.append(split_message_kernel(d["kernel"], hidden))
+        bs.append(split_message_bias(d["bias"], hidden))
+    msg_w = jnp.stack(ws)  # (L, 4, H, H)
+    msg_b = jnp.stack(bs)  # (L, 4, H)
+    g = params["gru"]
+    gru = {
+        "wz": g["W_z"]["kernel"], "uz": g["U_z"]["kernel"],
+        "bz": g["W_z"]["bias"] + g["U_z"]["bias"],
+        "wr": g["W_r"]["kernel"], "ur": g["U_r"]["kernel"],
+        "br": g["W_r"]["bias"] + g["U_r"]["bias"],
+        "wn": g["W"]["kernel"], "un": g["U"]["kernel"],
+        "bn": g["W"]["bias"] + g["U"]["bias"],
+    }
+    return msg_w, msg_b, gru

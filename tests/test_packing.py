@@ -1,0 +1,139 @@
+"""Packed supergraph tests: packing invariants + padded/packed parity
+(same weights, same molecules -> identical embeddings and logits)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcnbmp_tpu.chem import GGNNFeaturizer, mol_from_smiles
+from gcnbmp_tpu.data.dataset import PairDataset, make_batch
+from gcnbmp_tpu.data.packing import (
+    TILE,
+    estimate_tiles,
+    pack_pair_dataset_batch,
+)
+from gcnbmp_tpu.models import set_up_predictor
+from gcnbmp_tpu.models.packed import make_packed_predictor
+
+SMILES = [
+    "CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "C=O", "CCN(CC)CC",
+    "Cn1cnc2c1c(=O)n(C)c(=O)n2C", "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "O",
+]
+
+
+def _dataset(n_pairs=6):
+    f = GGNNFeaturizer()
+    rng = np.random.default_rng(0)
+    ds = PairDataset()
+    for i in range(n_pairs):
+        s1 = SMILES[int(rng.integers(len(SMILES)))]
+        s2 = SMILES[int(rng.integers(len(SMILES)))]
+        ds.append(f(mol_from_smiles(s1)), f(mol_from_smiles(s2)),
+                  np.float32(rng.integers(0, 2)))
+    return ds
+
+
+def test_packing_invariants():
+    ds = _dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(len(ds))))
+    assert packed.num_mols == 2 * len(ds)
+    # every molecule's atoms present exactly once
+    total_atoms = sum(g.num_atoms for g in ds.graphs1) + sum(
+        g.num_atoms for g in ds.graphs2
+    )
+    assert int(packed.node_mask.sum()) == total_atoms
+    # flattened mol_id sorted (required for sorted segment_sum)
+    flat = packed.mol_id.reshape(-1)
+    real = flat[flat < packed.num_mols]
+    # within each tile ids are contiguous ascending; across tiles ascending
+    assert np.all(np.diff(packed.mol_id, axis=1) >= 0)
+    tile_max = np.where(
+        (packed.mol_id < packed.num_mols).any(axis=1),
+        np.max(np.where(packed.mol_id < packed.num_mols, packed.mol_id, -1), axis=1),
+        -1,
+    )
+    tile_min_next = [
+        packed.mol_id[p][packed.mol_id[p] < packed.num_mols].min()
+        for p in range(packed.num_tiles)
+        if (packed.mol_id[p] < packed.num_mols).any()
+    ]
+    # edges preserved
+    total_edges = sum(g.num_edges for g in ds.graphs1) + sum(
+        g.num_edges for g in ds.graphs2
+    )
+    assert packed.num_edges == total_edges
+    # pair indices cover all molecules
+    assert sorted(packed.left_index.tolist() + packed.right_index.tolist()) == list(
+        range(packed.num_mols)
+    )
+
+
+def test_estimate_tiles_fixed_shape():
+    ds = _dataset()
+    sizes = [g.num_atoms for g in ds.graphs1] + [g.num_atoms for g in ds.graphs2]
+    p = estimate_tiles(sizes)
+    packed = pack_pair_dataset_batch(ds, list(range(len(ds))), num_tiles=p)
+    assert packed.num_tiles == p
+
+
+def test_packed_padded_parity():
+    """Same weights, same molecules: packed forward == padded forward."""
+    ds = _dataset()
+    padded = make_batch(ds, list(range(len(ds))))
+    pred = set_up_predictor(
+        method="ggnn", fp_hidden_dim=8, fp_out_dim=8, conv_layers=3,
+        weight_tying=False, sim_method="hole",
+    )
+    variables = pred.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(padded.atoms1), jnp.asarray(padded.adj1),
+        jnp.asarray(padded.atoms2), jnp.asarray(padded.adj2),
+        jnp.asarray(padded.mask1), jnp.asarray(padded.mask2),
+    )
+    logits_padded, aux = pred.apply(
+        variables,
+        jnp.asarray(padded.atoms1), jnp.asarray(padded.adj1),
+        jnp.asarray(padded.atoms2), jnp.asarray(padded.adj2),
+        jnp.asarray(padded.mask1), jnp.asarray(padded.mask2),
+        return_aux=True,
+    )
+
+    packed = pack_pair_dataset_batch(ds, list(range(len(ds))))
+    ppred = make_packed_predictor(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=3, weight_tying=False,
+        sim_method="hole",
+    )
+    logits_packed = ppred.apply(
+        variables,  # same params!
+        jnp.asarray(packed.atom_ids), jnp.asarray(packed.adj),
+        jnp.asarray(packed.mol_id), jnp.asarray(packed.node_mask),
+        jnp.asarray(packed.left_index), jnp.asarray(packed.right_index),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_packed), np.asarray(logits_padded), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_packed_grads_finite():
+    ds = _dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(len(ds))))
+    ppred = make_packed_predictor(fp_hidden_dim=8, fp_out_dim=8, conv_layers=2)
+    args = (
+        jnp.asarray(packed.atom_ids), jnp.asarray(packed.adj),
+        jnp.asarray(packed.mol_id), jnp.asarray(packed.node_mask),
+        jnp.asarray(packed.left_index), jnp.asarray(packed.right_index),
+    )
+    variables = ppred.init(jax.random.PRNGKey(0), *args)
+    y = jnp.asarray(packed.labels)
+
+    def loss(p):
+        logits = ppred.apply({"params": p}, *args)
+        return jnp.mean(
+            jnp.maximum(logits[:, 0], 0) - logits[:, 0] * y
+            + jnp.log1p(jnp.exp(-jnp.abs(logits[:, 0])))
+        )
+
+    grads = jax.grad(loss)(variables["params"])
+    assert all(
+        np.all(np.isfinite(np.asarray(g))) for g in jax.tree_util.tree_leaves(grads)
+    )
