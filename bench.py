@@ -198,6 +198,53 @@ def measure_packed(device, iters):
     return edges / dt, dt, edges, packed.occupancy, packed.num_tiles
 
 
+def measure_fused(device, iters):
+    """The fused multi-layer Pallas kernel path (ops/fused_ggnn.py)."""
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models.packed import fused_pair_logits, make_packed_predictor
+    from gcnbmp_tpu.train.loop import sigmoid_cross_entropy
+
+    ds = build_dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(BATCH)))
+    predictor = make_packed_predictor(
+        fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
+        weight_tying=False, sim_method="hole",
+    )
+    optimizer = optax.adam(1e-3)
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    atom_ids = put(packed.atom_ids)
+    adj = put(packed.adj.astype(jnp.bfloat16))
+    rest = (put(packed.mol_id), put(packed.node_mask),
+            put(packed.left_index), put(packed.right_index))
+    y = put(packed.labels)
+    variables = predictor.init(
+        jax.random.PRNGKey(0), atom_ids, put(packed.adj), *rest
+    )
+    params = jax.device_put(variables["params"], device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+
+    def loss_fn(p):
+        logits = fused_pair_logits(predictor, p, atom_ids, adj, *rest)
+        return sigmoid_cross_entropy(jnp.reshape(logits, y.shape), y)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    for _ in range(WARMUP):
+        params, opt_state, loss = step(params, opt_state)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state)
+    assert np.isfinite(float(loss))
+    dt = (time.perf_counter() - t0) / iters
+    edges = float(packed.num_edges)
+    return edges / dt, dt, edges
+
+
 def cpu_baseline():
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -225,7 +272,14 @@ def main():
     print(f"# packed: step {dt_pk*1e3:.2f} ms, {edges_pk:.0f} edges/batch, "
           f"{tiles} tiles, occupancy {occ:.2f}, {eps_pk/1e6:.1f}M edges/s",
           file=sys.stderr)
-    eps = max(eps_pad, eps_pk)
+    try:
+        eps_fu, dt_fu, _ = measure_fused(device, ITERS)
+        print(f"# fused pallas: step {dt_fu*1e3:.2f} ms, {eps_fu/1e6:.1f}M edges/s",
+              file=sys.stderr)
+    except Exception as e:  # pallas unsupported on this backend
+        print(f"# fused pallas: skipped ({type(e).__name__})", file=sys.stderr)
+        eps_fu = 0.0
+    eps = max(eps_pad, eps_pk, eps_fu)
     cpu_eps = cpu_baseline()
     vs = eps / (8.0 * cpu_eps) if cpu_eps else None
     print(json.dumps({
