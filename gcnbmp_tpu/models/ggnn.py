@@ -108,7 +108,16 @@ class GGNN(nn.Module):
     dropout_rate: float = 0.0
     batch_normalization: bool = False
     layer_aggregator: Optional[str] = None
-    use_attention: bool = False
+    use_attention: bool = False          # masked self-attention after update
+    update_attention: bool = False       # see NotImplemented note below
+    attention_tying: bool = True
+    message_function: str = "matrix_multiply"  # or 'edge_network'
+    edge_hidden_dim: int = 16
+    readout_function: str = "graph_level"      # or 'set2vec'
+    num_timesteps: int = 3
+    num_output_hidden_layers: int = 0
+    output_hidden_dim: int = 16
+    context: bool = False                # BiLSTM context embedding over atoms
 
     @nn.compact
     def __call__(
@@ -126,30 +135,82 @@ class GGNN(nn.Module):
             # models/ggnn.py:598-603); also the saliency entry point —
             # eval/saliency.py differentiates w.r.t. these embeddings
             h = atoms
+        if self.context:
+            # BiLSTM context embedding over the atom sequence
+            # (reference models/ggnn.py:607-611, NStepBiLSTM with
+            # out_size hidden_dim/2 per direction)
+            half = self.hidden_dim // 2
+            fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="context_fwd")
+            bwd = nn.RNN(nn.OptimizedLSTMCell(half), reverse=True,
+                         keep_order=True, name="context_bwd")
+            h = jnp.concatenate([fwd(h), bwd(h)], axis=-1)
         h0 = h
+
+        if self.update_attention:
+            raise NotImplementedError(
+                "the reference's update_with_attention has an internal shape "
+                "mismatch and cannot execute (models/ggnn.py:265-331: "
+                "Linear(hidden->hidden) output reshaped to 2*hidden); "
+                "use use_attention (masked self-attention) instead"
+            )
 
         # Per-layer message linears when untied, but ONE GRU shared across
         # all layers — the reference constructs a single
         # ``self.update_layer = links.GRU`` regardless of weight_tying
         # (models/ggnn.py:132) whose state chains across layers.
         n_message = 1 if self.weight_tying else self.n_layers
-        messages = [
-            GGNNMessage(self.hidden_dim, name=f"update_{i}") for i in range(n_message)
-        ]
-        gru = ChainerGRUCell(self.hidden_dim, name="gru")
-        n_readout = self.n_layers if self.concat_hidden else 1
-        readout_dim = self.out_dim
-        if self.layer_aggregator == "concat":
-            readout_dim = self.out_dim  # readout applied after aggregation
-        readouts = [
-            GatedReadout(readout_dim, name=f"readout_{i}") for i in range(n_readout)
-        ]
+        if self.message_function == "matrix_multiply":
+            messages = [
+                GGNNMessage(self.hidden_dim, name=f"update_{i}")
+                for i in range(n_message)
+            ]
+        elif self.message_function == "edge_network":
+            from gcnbmp_tpu.models.ggnn_extras import GGNNEdgeNetwork
 
-        if self.use_attention:
-            raise NotImplementedError(
-                "masked self-attention (reference ggnn.py:376-405) lands with "
-                "the attention feature pass"
+            messages = [
+                GGNNEdgeNetwork(self.hidden_dim, self.edge_hidden_dim,
+                                name=f"update_{i}")
+                for i in range(n_message)
+            ]
+        else:
+            raise ValueError(
+                f"no such message function {self.message_function!r}"
             )
+        gru = ChainerGRUCell(self.hidden_dim, name="gru")
+        n_attention = 1 if self.attention_tying else self.n_layers
+        if self.use_attention:
+            from gcnbmp_tpu.models.ggnn_extras import MaskedSelfAttention
+
+            attentions = [
+                MaskedSelfAttention(self.hidden_dim, name=f"attention_{i}")
+                for i in range(n_attention)
+            ]
+        n_readout = self.n_layers if self.concat_hidden else 1
+        if self.readout_function == "set2vec":
+            from gcnbmp_tpu.models.ggnn_extras import Set2Vec
+
+            readouts = [
+                Set2Vec(
+                    node_dim=2 * self.hidden_dim, output_dim=self.out_dim,
+                    num_timesteps=self.num_timesteps,
+                    num_output_hidden_layers=self.num_output_hidden_layers,
+                    output_hidden_dim=self.output_hidden_dim,
+                    name=f"readout_{i}",
+                )
+                for i in range(n_readout)
+            ]
+
+            def do_readout(idx, h_, h0_, mask_):
+                return readouts[idx](jnp.concatenate([h_, h0_], axis=-1), mask_)
+
+        else:
+            readouts = [
+                GatedReadout(self.out_dim, name=f"readout_{i}")
+                for i in range(n_readout)
+            ]
+
+            def do_readout(idx, h_, h0_, mask_):
+                return readouts[idx](h_, h0_, mask_)
 
         g_list = []
         h_list = []
@@ -160,6 +221,10 @@ class GGNN(nn.Module):
             x = jnp.concatenate([h, m], axis=-1)
             gru_state = gru(gru_state, x)
             h = gru_state
+            if self.use_attention:
+                # masked self-attention transforms h but NOT the GRU's
+                # recurrent state (reference __call__ :616-623)
+                h = attentions[0 if self.attention_tying else step](h, adj)
             if self.batch_normalization:
                 h = nn.BatchNorm(
                     use_running_average=deterministic, name=f"bn_{step}"
@@ -167,32 +232,25 @@ class GGNN(nn.Module):
             if self.dropout_rate > 0.0:
                 h = nn.Dropout(rate=self.dropout_rate, deterministic=deterministic)(h)
             if self.concat_hidden:
-                g_list.append(readouts[step](h, h0, mask))
+                g_list.append(do_readout(step, h, h0, mask))
             if self.layer_aggregator:
                 h_list.append(h)
 
         aux: Dict[str, Any] = {"atoms": h, "h0": h0, "h_list": h_list, "g_list": g_list}
 
         if self.layer_aggregator:
-            h_agg = self._aggregate_layers(h_list)
+            from gcnbmp_tpu.models.ggnn_extras import LayerAggregator
+
+            h_agg, h0_agg = LayerAggregator(
+                self.layer_aggregator, self.hidden_dim, self.n_layers,
+                name="layer_aggregator",
+            )(h_list, h0)
             # the reference rebuilds i/j layers sized for the aggregated
             # input (models/ggnn.py:240-257); Dense infers input width.
-            g = GatedReadout(self.out_dim, name="readout_agg")(h_agg, h0, mask)
+            g = GatedReadout(self.out_dim, name="readout_agg")(h_agg, h0_agg, mask)
             return g, aux
 
         if self.concat_hidden:
             return jnp.concatenate(g_list, axis=-1), aux
-        g = readouts[0](h, h0, mask)
+        g = do_readout(0, h, h0, mask)
         return g, aux
-
-    def _aggregate_layers(self, h_list):
-        """Layer aggregators over per-layer hidden states
-        (reference: models/ggnn.py:407-579).  'concat' and 'max-pool'
-        here; attn/lstm/gru flavors land with the JKNet pass."""
-        if self.layer_aggregator == "concat":
-            return jnp.concatenate(h_list, axis=-1)
-        if self.layer_aggregator == "max-pool":
-            return jnp.max(jnp.stack(h_list, axis=0), axis=0)
-        raise NotImplementedError(
-            f"layer_aggregator={self.layer_aggregator!r} not yet implemented"
-        )
