@@ -54,6 +54,8 @@ class PaddedPairBatch:
     labels: np.ndarray
     atom_feats1: Optional[np.ndarray] = None
     atom_feats2: Optional[np.ndarray] = None
+    super1: Optional[np.ndarray] = None  # (B, F_s) supernode features (GWM)
+    super2: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -179,8 +181,13 @@ def make_batch(
     pad_to: Optional[int] = None,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     fill_batch_to: Optional[int] = None,
+    supernode_fn=None,
 ) -> PaddedPairBatch:
     """Build one padded batch.
+
+    ``supernode_fn``: optional SMILES -> feature-vector callable; fills
+    the batch's super1/super2 for the GWM encoder (reference supernode
+    plumbing, train_ggnn_hole_with_gwm.py:321-347).
 
     ``fill_batch_to``: pad a short batch up to this many rows with empty
     graphs and label ``-1`` (ignored by the loss and filtered by metric
@@ -211,10 +218,24 @@ def make_batch(
     labels = np.stack(label_rows)
     if labels.shape[-1] == 1:
         labels = labels[:, 0]
+    s1 = s2 = None
+    if supernode_fn is not None:
+        def snode(graphs):
+            rows = [
+                np.asarray(supernode_fn(g.smiles), np.float32) if g.smiles else None
+                for g in graphs
+            ]
+            dim = next(len(r) for r in rows if r is not None)
+            return np.stack([
+                r if r is not None else np.zeros((dim,), np.float32) for r in rows
+            ])
+
+        s1, s2 = snode(g1), snode(g2)
     return PaddedPairBatch(
         atoms1=a1, adj1=adj1, mask1=m1,
         atoms2=a2, adj2=adj2, mask2=m2,
         labels=labels, atom_feats1=f1, atom_feats2=f2,
+        super1=s1, super2=s2,
     )
 
 

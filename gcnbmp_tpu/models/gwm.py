@@ -1,0 +1,218 @@
+"""GGNN with Graph Warp Module (supernode exchange).
+
+Reference: models/ggnn_gwm.py:13-132 — GGNN updates plus the
+chainer_chemistry GWM (Ishiguro, Maeda, Koyama: "Graph Warp Module",
+arXiv 2019): a per-molecule supernode exchanges information with the
+atom nodes every layer through transmitter units (multi-head attention
+node->super, broadcast super->node), warp gates, and two GRUs.  The
+final readout concatenates the gated graph readout with the supernode
+state through a ReLU linear (reference :123-131).
+
+The GWM internals follow the cited paper (the chainer_chemistry
+implementation is an external dependency not present in the reference
+tree, SURVEY §2.8).
+
+Supernode input features (reference data_generator.py:56-121): either
+sum/mean/max-pooled per-atom descriptors padded to ``n_super_feature``
+(add_super_nodes) or the mean of fixed random per-element embeddings
+(add_super_nodes2) — both provided in ``supernode_features`` /
+``supernode_features_random``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from gcnbmp_tpu.chem.featurize import drugfp_atom_features
+from gcnbmp_tpu.chem.mol import Mol
+from gcnbmp_tpu.models.ggnn import GGNNMessage
+from gcnbmp_tpu.models.layers import (
+    ChainerGRUCell,
+    EmbedAtomID,
+    LecunNormal,
+    MAX_ATOMIC_NUM,
+)
+from gcnbmp_tpu.models.readouts import CommonGGNNReadout
+
+DEFAULT_N_SUPER_FEATURE = 2 + 2 * 4 + MAX_ATOMIC_NUM * 2  # reference default
+
+
+class GWMStep(nn.Module):
+    """One warp step: (h, h2, h_s) -> (merged_local, merged_super).
+
+    h: pre-update node states, h2: GNN-updated node states,
+    h_s: supernode state.
+    """
+
+    hidden_dim: int
+    hidden_dim_super: int
+    n_heads: int = 8
+
+    @nn.compact
+    def __call__(self, h, h2, h_s, mask=None):
+        d, ds, k = self.hidden_dim, self.hidden_dim_super, self.n_heads
+        dense = lambda f, name: nn.Dense(f, kernel_init=LecunNormal(), name=name)
+        # --- transmitter: local -> super (multi-head attention) ---
+        q = jnp.tanh(dense(k * d, "super_query")(h_s))  # (B, k*d)
+        keys = jnp.tanh(dense(k * d, "local_key")(h))   # (B, N, k*d)
+        b, n, _ = h.shape
+        qh = q.reshape(b, 1, k, d)
+        kh = keys.reshape(b, n, k, d)
+        scores = jnp.einsum("bnkd,bokd->bnk", kh, qh) / jnp.sqrt(float(d))
+        if mask is not None:
+            scores = jnp.where(mask[..., None] > 0, scores, -1e9)
+        attn = jax.nn.softmax(scores, axis=1)  # (B, N, k)
+        if mask is not None:
+            attn = attn * mask[..., None]
+        heads = jnp.einsum("bnk,bnd->bkd", attn, h).reshape(b, k * d)
+        trans_super = jnp.tanh(dense(ds, "local_to_super")(heads))  # (B, ds)
+        # --- transmitter: super -> local (broadcast) ---
+        trans_local = jnp.tanh(dense(d, "super_to_local")(h_s))[:, None, :]
+        trans_local = jnp.broadcast_to(trans_local, h2.shape)
+        # --- warp gates ---
+        z_local = jax.nn.sigmoid(
+            dense(d, "gate_local_self")(h2) + dense(d, "gate_local_trans")(trans_local)
+        )
+        merged_local = z_local * trans_local + (1.0 - z_local) * h2
+        self_super = dense(ds, "super_self")(h_s)
+        z_super = jax.nn.sigmoid(
+            dense(ds, "gate_super_self")(h_s) + dense(ds, "gate_super_trans")(trans_super)
+        )
+        merged_super = z_super * trans_super + (1.0 - z_super) * jnp.tanh(self_super)
+        return merged_local, merged_super
+
+
+class GGNN_GWM(nn.Module):
+    """GGNN encoder + Graph Warp Module.
+
+    __call__(atoms, adj, super_node (B, F_s), mask) -> (g, aux)."""
+
+    out_dim: int
+    hidden_dim: int = 16
+    hidden_dim_super: int = 16
+    n_layers: int = 4
+    n_heads: int = 8
+    n_atom_types: int = MAX_ATOMIC_NUM
+    dropout_ratio: float = 0.0
+    concat_hidden: bool = False
+    weight_tying: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        atoms: jnp.ndarray,
+        adj: jnp.ndarray,
+        super_node: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        if jnp.issubdtype(atoms.dtype, jnp.integer):
+            h = EmbedAtomID(self.n_atom_types, self.hidden_dim, name="embed")(atoms)
+        else:
+            h = atoms
+        h0 = h
+        h_s = nn.Dense(self.hidden_dim_super, kernel_init=LecunNormal(),
+                       name="embed_super")(super_node)
+
+        n_message = 1 if self.weight_tying else self.n_layers
+        messages = [
+            GGNNMessage(self.hidden_dim, name=f"update_{i}") for i in range(n_message)
+        ]
+        gwm_steps = [
+            GWMStep(self.hidden_dim, self.hidden_dim_super, self.n_heads,
+                    name=f"gwm_{i}")
+            for i in range(n_message)
+        ]
+        pre_updates = [
+            nn.Dense(self.hidden_dim, kernel_init=LecunNormal(),
+                     name=f"pre_update_{i}")
+            for i in range(n_message)
+        ]
+        gru_local = ChainerGRUCell(self.hidden_dim, name="gru_local")
+        gru_super = ChainerGRUCell(self.hidden_dim_super, name="gru_super")
+        n_readout = self.n_layers if self.concat_hidden else 1
+        readouts = [
+            CommonGGNNReadout(self.out_dim, name=f"readout_{i}")
+            for i in range(n_readout)
+        ]
+
+        state_local = jnp.zeros_like(h)
+        state_super = jnp.zeros_like(h_s)
+        g_list = []
+        for step in range(self.n_layers):
+            idx = 0 if self.weight_tying else step
+            m = messages[idx](h, adj)
+            h2 = pre_updates[idx](jnp.concatenate([h, m], axis=-1))
+            merged_local, merged_super = gwm_steps[idx](h, h2, h_s, mask)
+            if self.dropout_ratio > 0.0:
+                merged_local = nn.Dropout(
+                    rate=self.dropout_ratio, deterministic=deterministic
+                )(merged_local)
+            state_local = gru_local(state_local, merged_local)
+            state_super = gru_super(state_super, merged_super)
+            h, h_s = state_local, state_super
+            if self.concat_hidden:
+                g_list.append(readouts[step](h, h0, mask))
+
+        aux = {"atoms": h, "h0": h0, "super": h_s, "h_list": [], "g_list": g_list}
+        if self.concat_hidden:
+            return jnp.concatenate(g_list, axis=-1), aux
+        g = readouts[0](h, h0, mask)
+        g2 = jnp.concatenate([g, h_s], axis=-1)
+        out = nn.relu(
+            nn.Dense(self.out_dim, kernel_init=LecunNormal(),
+                     name="linear_for_concat_super")(g2)
+        )
+        return out, aux
+
+
+class GWMPairPredictor(nn.Module):
+    """Siamese GGNN_GWM pair predictor (6-ary input incl. supernodes;
+    reference train_ggnn_hole_with_gwm.py:123-194)."""
+
+    encoder: nn.Module
+    head: nn.Module
+    symmetric: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, atoms1, adj1, super1, atoms2, adj2, super2,
+                 mask1=None, mask2=None, deterministic=True, return_aux=False):
+        g1, aux1 = self.encoder(atoms1, adj1, super1, mask1, deterministic)
+        g2, aux2 = self.encoder(atoms2, adj2, super2, mask2, deterministic)
+        logits = self.head(g1, g2)
+        if self.symmetric == "or":
+            logits = jnp.maximum(logits, self.head(g2, g1))
+        elif self.symmetric == "and":
+            logits = jnp.minimum(logits, self.head(g2, g1))
+        if return_aux:
+            return logits, {"g1": g1, "g2": g2, "aux1": aux1, "aux2": aux2}
+        return logits
+
+
+def supernode_features(
+    mol: Mol, n_super_feature: int = DEFAULT_N_SUPER_FEATURE
+) -> np.ndarray:
+    """sum/mean/max-pooled per-atom descriptors, zero-padded
+    (reference add_super_nodes, data_generator.py:56-90, with the
+    built-in 66-dim atom features standing in for deepchem Weave)."""
+    feats = np.stack([drugfp_atom_features(mol, i) for i in range(mol.num_atoms)])
+    vec = np.concatenate([feats.sum(0), feats.mean(0), feats.max(0)])
+    if len(vec) < n_super_feature:
+        vec = np.pad(vec, (0, n_super_feature - len(vec)))
+    return vec[:n_super_feature].astype(np.float32)
+
+
+def supernode_features_random(
+    mol: Mol, n_super_feature: int = 244, seed: int = 0
+) -> np.ndarray:
+    """Mean of fixed random per-element embeddings (reference
+    add_super_nodes2, data_generator.py:95-121)."""
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(MAX_ATOMIC_NUM, n_super_feature)).astype(np.float32)
+    rows = [w[a.atomic_num - 1] for a in mol.atoms]
+    return np.mean(rows, axis=0).astype(np.float32)

@@ -1,0 +1,87 @@
+"""GGNN-GWM encoder + pair predictor tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcnbmp_tpu.chem import GGNNFeaturizer, mol_from_smiles
+from gcnbmp_tpu.data.dataset import PairDataset, make_batch
+from gcnbmp_tpu.models.gwm import (
+    GGNN_GWM,
+    GWMPairPredictor,
+    supernode_features,
+    supernode_features_random,
+)
+from gcnbmp_tpu.models.heads import HolEHead
+
+
+def _batch():
+    f = GGNNFeaturizer()
+    ds = PairDataset()
+    for s1, s2, y in [("CCO", "c1ccccc1", 1), ("CC(=O)O", "C=O", 0),
+                      ("CCN", "CCO", 1)]:
+        ds.append(f(mol_from_smiles(s1)), f(mol_from_smiles(s2)), np.float32(y))
+    return make_batch(
+        ds, [0, 1, 2],
+        supernode_fn=lambda s: supernode_features(mol_from_smiles(s)),
+    )
+
+
+def test_supernode_features():
+    mol = mol_from_smiles("CCO")
+    v = supernode_features(mol)
+    assert v.shape == (2 + 2 * 4 + 117 * 2,)
+    assert np.isfinite(v).all() and v.sum() > 0
+    r1 = supernode_features_random(mol, seed=3)
+    r2 = supernode_features_random(mol, seed=3)
+    np.testing.assert_array_equal(r1, r2)  # deterministic per seed
+
+
+def test_ggnn_gwm_forward_and_grads():
+    batch = _batch()
+    model = GGNN_GWM(out_dim=6, hidden_dim=8, hidden_dim_super=8, n_layers=3,
+                     n_heads=2)
+    args = (jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
+            jnp.asarray(batch.super1), jnp.asarray(batch.mask1))
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    g, aux = model.apply(variables, *args)
+    assert g.shape == (3, 6)
+    assert aux["super"].shape == (3, 8)
+
+    def loss(p):
+        g, _ = model.apply({"params": p}, *args)
+        return jnp.sum(g ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(grads))
+
+
+def test_gwm_supernode_influences_output():
+    batch = _batch()
+    model = GGNN_GWM(out_dim=6, hidden_dim=8, hidden_dim_super=8, n_layers=2)
+    args = (jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
+            jnp.asarray(batch.super1), jnp.asarray(batch.mask1))
+    variables = model.init(jax.random.PRNGKey(0), *args)
+    g1, _ = model.apply(variables, *args)
+    g2, _ = model.apply(
+        variables, args[0], args[1], args[2] * 0.0 + 1.0, args[3]
+    )
+    assert not np.allclose(np.asarray(g1), np.asarray(g2))
+
+
+def test_gwm_pair_predictor():
+    batch = _batch()
+    pred = GWMPairPredictor(
+        encoder=GGNN_GWM(out_dim=8, hidden_dim=8, hidden_dim_super=8,
+                         n_layers=2, name="encoder"),
+        head=HolEHead(out_dim=1, hidden_dims=(), name="head"),
+    )
+    args = (jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
+            jnp.asarray(batch.super1),
+            jnp.asarray(batch.atoms2), jnp.asarray(batch.adj2),
+            jnp.asarray(batch.super2),
+            jnp.asarray(batch.mask1), jnp.asarray(batch.mask2))
+    variables = pred.init(jax.random.PRNGKey(0), *args)
+    out = pred.apply(variables, *args)
+    assert out.shape == (3, 1) and np.isfinite(np.asarray(out)).all()
