@@ -70,13 +70,33 @@ def _build_nfp(name, out_dim, hidden_dim, n_layers, concat_hidden,
     )
 
 
-# Encoder registry (--method strings, reference train_ddi_modify_eval2.py:331).
+def _build_ggnn_dev(variant):
+    def build(name, out_dim, hidden_dim, n_layers, concat_hidden,
+              layer_aggregator, dropout_rate, batch_normalization,
+              weight_tying):
+        from gcnbmp_tpu.models.ggnn_dev import GGNNDev
+
+        return GGNNDev(
+            out_dim=out_dim, hidden_dim=hidden_dim, n_layers=n_layers,
+            concat_hidden=concat_hidden, dropout_rate=dropout_rate,
+            weight_tying=weight_tying, update_variant=variant, name=name,
+        )
+
+    return build
+
+
+# Encoder registry (--method strings, reference train_ddi_modify_eval2.py:331
+# + the dev/refactored trainers' encoders, smiles_based_ddi.py).
 ENCODERS = {
     "ggnn": _build_ggnn,
     "relgcn": _build_relgcn,
     "gin": _build_gin,
     "mpnn": _build_mpnn,
     "nfp": _build_nfp,
+    "ggnn-dev": _build_ggnn_dev("gru"),
+    "ggnn-dev-fuse": _build_ggnn_dev("fuse"),
+    "ggnn-dev-gate": _build_ggnn_dev("gate"),
+    "ggnn-dev-self-loop": _build_ggnn_dev("self_loop"),
 }
 
 __all__ = [

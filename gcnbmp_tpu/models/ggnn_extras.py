@@ -190,6 +190,9 @@ class LayerAggregator(nn.Module):
             return h, jnp.concatenate([h0] * self.n_layers, axis=-1)
         if mode == "max-pool":
             return jnp.max(jnp.stack(h_list, axis=-2), axis=-2), h0
+        if mode == "avg":
+            # JKNet AvgAggregator (reference models/ggnn_dev_jknet.py:215)
+            return jnp.mean(jnp.stack(h_list, axis=-2), axis=-2), h0
         if mode in ("lstm", "gru", "lstm-attn", "gru-attn"):
             b, n, d = h_list[0].shape
             seq = [h.reshape(b * n, d) for h in h_list]

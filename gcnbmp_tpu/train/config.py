@@ -41,6 +41,9 @@ class TrainConfig:
     max_pad: Optional[int] = None             # fixed pad size (else buckets)
 
     # optimization (flagship: DDI.md:6 — lr 1e-3, x0.5 at [10..60], b=32)
+    loss: str = "sigmoid_ce"                  # sigmoid_ce | hinge | focal
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
     batch_size: int = 32
     learning_rate: float = 1e-3
     lr_shift_strategy: int = 1                # 1|2|3 (reference :675-687)

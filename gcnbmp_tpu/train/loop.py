@@ -59,6 +59,46 @@ def sigmoid_cross_entropy(
     return jnp.sum(per_elem * valid) / denom
 
 
+def hinge_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Binary hinge loss over +-1 targets (the Classifier's optional
+    hinge lossfun, reference train_ddi_modify_eval2.py:566)."""
+    logits = jnp.reshape(logits, labels.shape)
+    sign = 2.0 * labels - 1.0
+    valid = (labels >= 0).astype(logits.dtype)
+    per = jnp.maximum(0.0, 1.0 - sign * logits) * valid
+    return jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def sigmoid_focal_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray,
+    gamma: float = 2.0, alpha: float = 0.25,
+) -> jnp.ndarray:
+    """Correct sigmoid focal loss (Lin et al. 2017).  The reference ships
+    a SigmoidFocalLoss FunctionNode with an undefined variable in its
+    backward (functions.py:101) that cannot run; this is the fixed
+    implementation of the intended feature."""
+    logits = jnp.reshape(logits, labels.shape)
+    p = jax.nn.sigmoid(logits)
+    ce = optax.sigmoid_binary_cross_entropy(logits, labels)
+    p_t = p * labels + (1.0 - p) * (1.0 - labels)
+    alpha_t = alpha * labels + (1.0 - alpha) * (1.0 - labels)
+    per = alpha_t * (1.0 - p_t) ** gamma * ce
+    valid = (labels >= 0).astype(per.dtype)
+    return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def make_loss(name: str, **kwargs):
+    if name in ("sigmoid_ce", "sigmoid_cross_entropy"):
+        return sigmoid_cross_entropy
+    if name == "hinge":
+        return hinge_loss
+    if name == "focal":
+        import functools
+
+        return functools.partial(sigmoid_focal_loss, **kwargs)
+    raise ValueError(f"unknown loss {name!r}")
+
+
 def l1_penalty(weight: float) -> optax.GradientTransformation:
     """Chainer Lasso hook: grad += l1 * sign(param)."""
 
@@ -113,7 +153,8 @@ class TrainState:
     epochs_since_best: int
 
 
-def make_train_step(predictor, optimizer, class_num: int = 1):
+def make_train_step(predictor, optimizer, class_num: int = 1,
+                    loss: Callable = sigmoid_cross_entropy):
     """Returns jitted (params, opt_state, batch_arrays, rng) -> updated."""
 
     def loss_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2, labels, rng):
@@ -125,8 +166,7 @@ def make_train_step(predictor, optimizer, class_num: int = 1):
         )
         if class_num == 1:
             logits = jnp.reshape(logits, labels.shape)
-        loss = sigmoid_cross_entropy(logits, labels)
-        return loss, logits
+        return loss(logits, labels), logits
 
     @jax.jit
     def step_fn(params, opt_state, atoms1, adj1, atoms2, adj2, mask1, mask2, labels, rng):
@@ -256,7 +296,14 @@ class Trainer:
 
             state = restore_checkpoint(cfg.resume, state)
             logger.info("resumed from %s at epoch %d", cfg.resume, state.epoch)
-        train_step = make_train_step(self.predictor, self.optimizer, cfg.class_num)
+        loss_kwargs = (
+            {"gamma": cfg.focal_gamma, "alpha": cfg.focal_alpha}
+            if cfg.loss == "focal" else {}
+        )
+        self.loss_fn = make_loss(cfg.loss, **loss_kwargs)
+        train_step = make_train_step(
+            self.predictor, self.optimizer, cfg.class_num, self.loss_fn
+        )
         eval_step = make_eval_step(self.predictor)
         dropout_rng = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -299,7 +346,7 @@ class Trainer:
                     eval_step, state.params, self.val_ds, cfg.batch_size, self.pad_to
                 )
                 val_loss = float(
-                    sigmoid_cross_entropy(
+                    self.loss_fn(
                         jnp.asarray(v_logits.reshape(v_labels.shape)),
                         jnp.asarray(v_labels),
                     )
