@@ -52,10 +52,28 @@ class CSVPairParser:
     smiles_cols: Sequence[str] = ("smiles_1", "smiles_2")
     multi_label_classes: Optional[Sequence[str]] = None
     label_delimiter: str = "||"
+    use_native: bool = True  # batch-parse via native/smiles.cpp when possible
 
     def __post_init__(self):
+        self._default_featurizer = self.featurizer is None
         if self.featurizer is None:
             self.featurizer = GGNNFeaturizer()
+
+    def _native_graphs(self, df, c1, c2):
+        """Batch-parse all SMILES with the native library (the reference's
+        per-row parse loop, parsers.py:219-235, is the data-loading
+        bottleneck this replaces).  Returns None if unavailable or a
+        custom featurizer is in use (falls back to per-row Python)."""
+        if not (self.use_native and self._default_featurizer):
+            return None
+        from gcnbmp_tpu.chem.native import native_available, parse_smiles_batch_native
+
+        if not native_available():
+            return None
+        smiles = list(df[c1].astype(str)) + list(df[c2].astype(str))
+        graphs = parse_smiles_batch_native(smiles)
+        n = len(df)
+        return graphs[:n], graphs[n:]
 
     def _parse_label(self, row) -> np.ndarray:
         if self.multi_label_classes is not None:
@@ -79,7 +97,16 @@ class CSVPairParser:
         ok = np.zeros((len(df),), dtype=bool)
         fail = 0
         c1, c2 = self.smiles_cols
+        native = self._native_graphs(df, c1, c2)
         for i, (_, row) in enumerate(df.iterrows()):
+            if native is not None:
+                g1, g2 = native[0][i], native[1][i]
+                if g1 is None or g2 is None:
+                    fail += 1
+                    continue
+                ds.append(g1, g2, self._parse_label(row))
+                ok[i] = True
+                continue
             smi1, smi2 = str(row[c1]), str(row[c2])
             m1 = mol_from_smiles(smi1)
             m2 = mol_from_smiles(smi2)
