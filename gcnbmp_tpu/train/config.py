@@ -62,10 +62,13 @@ class TrainConfig:
     # precision
     compute_dtype: str = "float32"            # 'bfloat16' for the fast path
 
-    # io
+    # io / observability
     out_dir: str = "results"
     snapshot_interval: int = 2                # epochs (reference :701)
     resume: Optional[str] = None
+    plot_reports: bool = True                 # loss.png / accuracy.png
+    profile_epoch: Optional[int] = None       # jax.profiler trace this epoch
+    check_numerics: bool = False              # fail fast on nan/inf loss
 
     def lr_shift_epochs(self) -> Tuple[int, ...]:
         """The three manual ExponentialShift schedules

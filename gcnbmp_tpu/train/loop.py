@@ -311,7 +311,14 @@ class Trainer:
         max_epochs = max_epochs or cfg.epochs
         t0 = time.time()
         for epoch in range(state.epoch, max_epochs):
+            # optional jax.profiler trace of one epoch (SURVEY §5.1;
+            # the reference has no tracing story at all)
+            profiling = cfg.profile_epoch is not None and epoch == cfg.profile_epoch
+            if profiling:
+                jax.profiler.start_trace(os.path.join(cfg.out_dir, "profile"))
             epoch_losses = []
+            epoch_edges = 0
+            epoch_t0 = time.time()
             for batch in batch_iterator(
                 self.train_ds, cfg.batch_size, shuffle=True, rng=self.np_rng,
                 pad_to=self.pad_to, drop_remainder=True,
@@ -324,8 +331,17 @@ class Trainer:
                     jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
                     jnp.asarray(batch.labels), sub,
                 )
-                epoch_losses.append(float(loss))
+                loss = float(loss)
+                if cfg.check_numerics and not np.isfinite(loss):
+                    raise FloatingPointError(
+                        f"non-finite loss {loss} at step {state.step}"
+                    )
+                epoch_losses.append(loss)
+                epoch_edges += batch.num_edges
                 state.step += 1
+            epoch_dt = max(time.time() - epoch_t0, 1e-9)
+            if profiling:
+                jax.profiler.stop_trace()
             state.epoch = epoch + 1
 
             entry: Dict[str, Any] = {
@@ -333,6 +349,7 @@ class Trainer:
                 "main/loss": float(np.mean(epoch_losses)) if epoch_losses else None,
                 "lr": float(self.schedule(state.step)),
                 "elapsed_time": time.time() - t0,
+                "edges_per_s": epoch_edges / epoch_dt,
             }
             # epoch-end evaluators on train & val (reference :607-671)
             tr_logits, tr_labels = collect_logits(
@@ -358,6 +375,8 @@ class Trainer:
             logger.info("%s", json.dumps(entry))
             with open(os.path.join(cfg.out_dir, "log.json"), "w") as f:
                 json.dump(self.log, f, indent=2)
+            if cfg.plot_reports and state.epoch % cfg.snapshot_interval == 0:
+                self._write_plots(cfg.out_dir)
 
             if state.epoch % cfg.snapshot_interval == 0:
                 from gcnbmp_tpu.train.checkpoints import save_checkpoint
@@ -387,3 +406,32 @@ class Trainer:
 
         save_checkpoint(os.path.join(cfg.out_dir, "final"), state)
         return {"state": state, "log": self.log}
+
+    def _write_plots(self, out_dir: str) -> None:
+        """loss.png / accuracy.png (the reference's PlotReport outputs,
+        train_ddi_modify_eval2.py:704-705)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:  # pragma: no cover
+            return
+        epochs = [e["epoch"] for e in self.log]
+        for fname, keys in (
+            ("loss.png", ["main/loss", "val/loss"]),
+            ("accuracy.png", ["train/accuracy", "val/accuracy"]),
+        ):
+            fig, ax = plt.subplots(figsize=(6, 4))
+            plotted = False
+            for k in keys:
+                ys = [e.get(k) for e in self.log]
+                if any(y is not None for y in ys):
+                    ax.plot(epochs, [y if y is not None else float("nan") for y in ys],
+                            label=k)
+                    plotted = True
+            if plotted:
+                ax.set_xlabel("epoch")
+                ax.legend()
+                fig.savefig(os.path.join(out_dir, fname), dpi=80)
+            plt.close(fig)
