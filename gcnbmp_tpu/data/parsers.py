@@ -146,6 +146,34 @@ def parse_pair_csv(
     return parser.parse(path).dataset
 
 
+class CachedPairDataset:
+    """Parse-once, pickle-cached dataset wrapper (reference BinaryDDI,
+    data_pipeline.py:20-100): the first load parses the CSV and writes
+    ``<csv>.cache.pkl``; later loads read the cache."""
+
+    def __init__(self, csv_path: str, cache_path: Optional[str] = None,
+                 parser: Optional[CSVPairParser] = None):
+        import os
+
+        self.csv_path = csv_path
+        self.cache_path = cache_path or csv_path + ".cache.pkl"
+        self.parser = parser or CSVPairParser()
+        if os.path.exists(self.cache_path):
+            self.dataset = PairDataset.load(self.cache_path)
+            self.from_cache = True
+        else:
+            self.dataset = self.parser.parse(csv_path).dataset
+            self.dataset.save(self.cache_path)
+            self.from_cache = False
+
+    @property
+    def data_list(self):  # reference-compatible accessor
+        return self.dataset
+
+    def __len__(self):
+        return len(self.dataset)
+
+
 def get_class_labels(labels_csv: str, column: str = "label") -> List[str]:
     """Read the class list for multi-label tasks (reference:
     train_ggnn_hole_multi_class_x37.py get_class_num over labels.csv)."""
