@@ -39,6 +39,10 @@ class TrainConfig:
     augment: bool = False                     # swap-pair augmentation
     balance: bool = False                     # pos/neg rebalance
     max_pad: Optional[int] = None             # fixed pad size (else buckets)
+    # packed-supergraph fast path (GGNN + no co-attention only): train
+    # steps run over 128-atom packed tiles (~3x faster); 'fused' also
+    # uses the Pallas kernel.  'padded' = reference-style batching.
+    compute_path: str = "padded"              # padded | packed | fused
 
     # optimization (flagship: DDI.md:6 — lr 1e-3, x0.5 at [10..60], b=32)
     loss: str = "sigmoid_ce"                  # sigmoid_ce | hinge | focal

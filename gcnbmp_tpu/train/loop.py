@@ -180,6 +180,56 @@ def make_train_step(predictor, optimizer, class_num: int = 1,
     return step_fn
 
 
+def make_packed_train_step(predictor, packed_predictor, optimizer,
+                           class_num: int = 1,
+                           loss: Callable = sigmoid_cross_entropy,
+                           fused: bool = False):
+    """Train step over the packed supergraph layout (data/packing.py).
+    ``packed_predictor`` must be parameter-compatible with ``predictor``
+    (models/packed.py); ``fused`` routes through the Pallas kernel."""
+
+    def loss_fn(params, atom_ids, adj, mol_id, node_mask, left, right, labels):
+        if fused:
+            from gcnbmp_tpu.models.packed import fused_pair_logits
+
+            logits = fused_pair_logits(
+                packed_predictor, params, atom_ids, adj, mol_id, node_mask,
+                left, right,
+            )
+        else:
+            logits = packed_predictor.apply(
+                {"params": params}, atom_ids, adj, mol_id, node_mask, left, right
+            )
+        if class_num == 1:
+            logits = jnp.reshape(logits, labels.shape)
+        return loss(logits, labels), logits
+
+    @jax.jit
+    def step_fn(params, opt_state, atom_ids, adj, mol_id, node_mask,
+                left, right, labels):
+        (l, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, atom_ids, adj, mol_id, node_mask, left, right, labels
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l, logits
+
+    return step_fn
+
+
+def packed_batch_iterator(ds: PairDataset, batch_size: int, num_tiles: int,
+                          rng: np.random.Generator):
+    """Shuffled packed batches with a fixed tile count (closed jit
+    shapes).  Drops the tail batch (training only)."""
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+
+    order = np.arange(len(ds))
+    rng.shuffle(order)
+    for start in range(0, len(ds) - batch_size + 1, batch_size):
+        idx = order[start:start + batch_size].tolist()
+        yield pack_pair_dataset_batch(ds, idx, num_tiles=num_tiles)
+
+
 def make_eval_step(predictor):
     @jax.jit
     def eval_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2):
@@ -301,9 +351,35 @@ class Trainer:
             if cfg.loss == "focal" else {}
         )
         self.loss_fn = make_loss(cfg.loss, **loss_kwargs)
-        train_step = make_train_step(
-            self.predictor, self.optimizer, cfg.class_num, self.loss_fn
-        )
+        packed = cfg.compute_path in ("packed", "fused")
+        if packed:
+            self._check_packed_compatible()
+            from gcnbmp_tpu.models.packed import make_packed_predictor
+
+            packed_predictor = make_packed_predictor(
+                fp_hidden_dim=cfg.fp_hidden_dim, fp_out_dim=cfg.fp_out_dim,
+                conv_layers=cfg.conv_layers, weight_tying=cfg.weight_tying,
+                sim_method=cfg.sim_method, class_num=cfg.class_num,
+                net_hidden_dims=cfg.net_hidden_dims,
+            )
+            train_step = make_packed_train_step(
+                self.predictor, packed_predictor, self.optimizer,
+                cfg.class_num, self.loss_fn, fused=cfg.compute_path == "fused",
+            )
+            # safe static tile bound: the batch_size*2 largest molecules
+            sizes = sorted(
+                [g.num_atoms for g in self.train_ds.graphs1]
+                + [g.num_atoms for g in self.train_ds.graphs2],
+                reverse=True,
+            )
+            from gcnbmp_tpu.data.packing import TILE, estimate_tiles
+
+            worst = sizes[: 2 * cfg.batch_size]
+            self.num_tiles = estimate_tiles(worst, TILE, slack=1.0) + 1
+        else:
+            train_step = make_train_step(
+                self.predictor, self.optimizer, cfg.class_num, self.loss_fn
+            )
         eval_step = make_eval_step(self.predictor)
         dropout_rng = jax.random.PRNGKey(cfg.seed + 1)
 
@@ -319,18 +395,35 @@ class Trainer:
             epoch_losses = []
             epoch_edges = 0
             epoch_t0 = time.time()
-            for batch in batch_iterator(
-                self.train_ds, cfg.batch_size, shuffle=True, rng=self.np_rng,
-                pad_to=self.pad_to, drop_remainder=True,
-            ):
-                dropout_rng, sub = jax.random.split(dropout_rng)
-                state.params, state.opt_state, loss, _ = train_step(
-                    state.params, state.opt_state,
-                    jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
-                    jnp.asarray(batch.atoms2), jnp.asarray(batch.adj2),
-                    jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
-                    jnp.asarray(batch.labels), sub,
+            if packed:
+                batches = packed_batch_iterator(
+                    self.train_ds, cfg.batch_size, self.num_tiles, self.np_rng
                 )
+            else:
+                batches = batch_iterator(
+                    self.train_ds, cfg.batch_size, shuffle=True,
+                    rng=self.np_rng, pad_to=self.pad_to, drop_remainder=True,
+                )
+            for batch in batches:
+                if packed:
+                    state.params, state.opt_state, loss, _ = train_step(
+                        state.params, state.opt_state,
+                        jnp.asarray(batch.atom_ids),
+                        jnp.asarray(batch.adj.astype(np.float32)),
+                        jnp.asarray(batch.mol_id), jnp.asarray(batch.node_mask),
+                        jnp.asarray(batch.left_index),
+                        jnp.asarray(batch.right_index),
+                        jnp.asarray(batch.labels),
+                    )
+                else:
+                    dropout_rng, sub = jax.random.split(dropout_rng)
+                    state.params, state.opt_state, loss, _ = train_step(
+                        state.params, state.opt_state,
+                        jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
+                        jnp.asarray(batch.atoms2), jnp.asarray(batch.adj2),
+                        jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
+                        jnp.asarray(batch.labels), sub,
+                    )
                 loss = float(loss)
                 if cfg.check_numerics and not np.isfinite(loss):
                     raise FloatingPointError(
@@ -406,6 +499,30 @@ class Trainer:
 
         save_checkpoint(os.path.join(cfg.out_dir, "final"), state)
         return {"state": state, "log": self.log}
+
+    def _check_packed_compatible(self) -> None:
+        cfg = self.config
+        problems = []
+        if cfg.method != "ggnn":
+            problems.append(f"method={cfg.method!r} (only 'ggnn')")
+        if cfg.attn is not None:
+            problems.append("co-attention")
+        if not cfg.siamese:
+            problems.append("siamese=False")
+        if cfg.symmetric is not None:
+            problems.append("symmetric")
+        if cfg.fp_dropout_rate > 0:
+            problems.append("dropout")
+        if cfg.fp_batch_normalization:
+            problems.append("batch normalization")
+        if cfg.concat_hidden or cfg.layer_aggregator:
+            problems.append("concat_hidden/layer_aggregator")
+        if problems:
+            raise ValueError(
+                "compute_path='packed'/'fused' supports the plain Siamese "
+                "GGNN configuration only; incompatible options: "
+                + ", ".join(problems)
+            )
 
     def _write_plots(self, out_dir: str) -> None:
         """loss.png / accuracy.png (the reference's PlotReport outputs,
