@@ -51,6 +51,13 @@ DEFAULT_BLOCK_TILES = 16
 DEFAULT_BWD_BLOCK_TILES = 4
 
 
+# Merge the three x-side gate matmuls into one (KT, 2H) x (2H, 3H) pass
+# and the two state-side ones into (KT, H) x (H, 2H): fewer, wider MXU
+# ops (output lanes 96/64 instead of 32).  Lane-slicing matmul OUTPUTS is
+# Mosaic-safe (unlike concatenating lane-offset slices).
+MERGE_GATES = False
+
+
 def _layer_fwd(k_tiles, h, state, adj, wmsg, bmsg,
                wz, uz, bz, wr, ur, br, wn, un, bn):
     """One GGNN layer on a (K*T, H) block; adj: (K, 4, T, T) f32."""
@@ -69,18 +76,31 @@ def _layer_fwd(k_tiles, h, state, adj, wmsg, bmsg,
         m_parts.append(m_k)
     m = jnp.concatenate(m_parts, axis=0)  # (KT, H)
     x = jnp.concatenate([h, m], axis=-1)
-    z = jax.nn.sigmoid(
-        jnp.dot(x, wz, preferred_element_type=jnp.float32)
-        + jnp.dot(state, uz, preferred_element_type=jnp.float32) + bz
-    )
-    r = jax.nn.sigmoid(
-        jnp.dot(x, wr, preferred_element_type=jnp.float32)
-        + jnp.dot(state, ur, preferred_element_type=jnp.float32) + br
-    )
-    n = jnp.tanh(
-        jnp.dot(x, wn, preferred_element_type=jnp.float32)
-        + jnp.dot(r * state, un, preferred_element_type=jnp.float32) + bn
-    )
+    hidden = h.shape[-1]
+    if MERGE_GATES:
+        wzrn = jnp.concatenate([wz, wr, wn], axis=1)  # (2H, 3H)
+        uzr = jnp.concatenate([uz, ur], axis=1)       # (H, 2H)
+        gx = jnp.dot(x, wzrn, preferred_element_type=jnp.float32)
+        gs = jnp.dot(state, uzr, preferred_element_type=jnp.float32)
+        z = jax.nn.sigmoid(gx[:, :hidden] + gs[:, :hidden] + bz)
+        r = jax.nn.sigmoid(gx[:, hidden:2 * hidden] + gs[:, hidden:] + br)
+        n = jnp.tanh(
+            gx[:, 2 * hidden:]
+            + jnp.dot(r * state, un, preferred_element_type=jnp.float32) + bn
+        )
+    else:
+        z = jax.nn.sigmoid(
+            jnp.dot(x, wz, preferred_element_type=jnp.float32)
+            + jnp.dot(state, uz, preferred_element_type=jnp.float32) + bz
+        )
+        r = jax.nn.sigmoid(
+            jnp.dot(x, wr, preferred_element_type=jnp.float32)
+            + jnp.dot(state, ur, preferred_element_type=jnp.float32) + br
+        )
+        n = jnp.tanh(
+            jnp.dot(x, wn, preferred_element_type=jnp.float32)
+            + jnp.dot(r * state, un, preferred_element_type=jnp.float32) + bn
+        )
     return z * n + (1.0 - z) * state, (m, x, z, r, n)
 
 
