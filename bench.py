@@ -246,17 +246,17 @@ def measure_fused(device, iters):
 
 
 def cpu_baseline():
+    global BATCH
+    key = f"cpu256x{PAD_N}x{HIDDEN}x{LAYERS}"
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             d = json.load(f)
-        key = f"{BATCH}x{PAD_N}x{HIDDEN}x{LAYERS}"
         if d.get("key") == key:
             return d["edges_per_s"]
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         return None
-    global BATCH
     saved = BATCH
     BATCH = 256  # CPU is compute-bound; small batch gives the same edges/s
     try:
@@ -264,7 +264,7 @@ def cpu_baseline():
     finally:
         BATCH = saved
     with open(CACHE, "w") as f:
-        json.dump({"key": f"{BATCH}x{PAD_N}x{HIDDEN}x{LAYERS}", "edges_per_s": eps}, f)
+        json.dump({"key": key, "edges_per_s": eps}, f)
     return eps
 
 
