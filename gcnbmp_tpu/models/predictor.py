@@ -89,6 +89,85 @@ class PairPredictor(nn.Module):
         return logits
 
 
+class ResearchPairPredictor(nn.Module):
+    """The eval3 research predictor (reference train_ddi_modify_eval3.py:
+    59-165): encoder must expose per-layer atom states and per-layer
+    readouts (the GGNNDev family); co-attention consumes
+    concat(first-layer, last-layer) atom states; optional LSTMs over the
+    per-layer readout sequences:
+
+    - use_s_lstm: one LSTM per molecule side over [g_layer1..g_layerL],
+      last output appended to the pair representation;
+    - use_i_lstm: one LSTM over the concatenated per-layer readout pairs.
+
+    Quirk note: in the reference the aggregated vector is overwritten by
+    ``g = F.concat((g1, g2))`` immediately before the MLP
+    (train_ddi_modify_eval3.py:158-160), silently discarding the LSTM
+    outputs; and non-MLP heads never see them.  Here the documented
+    intent is implemented: MLP heads consume the full concatenation.
+    """
+
+    encoder: nn.Module
+    head: nn.Module
+    coattention: Optional[nn.Module] = None
+    encoder2: Optional[nn.Module] = None
+    use_s_lstm: bool = False
+    use_i_lstm: bool = False
+
+    def _lstm_last(self, cell, seq):
+        b = seq[0].shape[0]
+        carry = jax.tree.map(
+            jnp.zeros_like,
+            cell.initialize_carry(jax.random.PRNGKey(0), (b, seq[0].shape[-1])),
+        )
+        y = None
+        for x in seq:
+            carry, y = cell(carry, x)
+        return y
+
+    @nn.compact
+    def __call__(self, atoms1, adj1, atoms2, adj2, mask1=None, mask2=None,
+                 deterministic=True, return_aux=False):
+        enc2 = self.encoder if self.encoder2 is None else self.encoder2
+        g1, aux1 = self.encoder(atoms1, adj1, mask1, deterministic=deterministic)
+        g2, aux2 = enc2(atoms2, adj2, mask2, deterministic=deterministic)
+        a1 = jnp.concatenate([aux1["h_list"][0], aux1["h_list"][-1]], axis=-1)
+        a2 = jnp.concatenate([aux2["h_list"][0], aux2["h_list"][-1]], axis=-1)
+        extras_left, extras_right = [], []
+        if self.use_s_lstm:
+            d = aux1["g_list"][0].shape[-1]
+            s1 = self._lstm_last(
+                nn.OptimizedLSTMCell(d, name="s_lstm_1"), aux1["g_list"]
+            )
+            s2 = self._lstm_last(
+                nn.OptimizedLSTMCell(d, name="s_lstm_2"), aux2["g_list"]
+            )
+            extras_left.append(s1)
+            extras_right.append(s2)
+        if self.use_i_lstm:
+            seq = [
+                jnp.concatenate([ga, gb], axis=-1)
+                for ga, gb in zip(aux1["g_list"], aux2["g_list"])
+            ]
+            mid = self._lstm_last(
+                nn.OptimizedLSTMCell(seq[0].shape[-1], name="i_lstm"), seq
+            )
+            extras_right.insert(0, mid)
+        if self.coattention is not None:
+            g1, g2 = self.coattention(a1, g1, a2, g2, mask1, mask2)
+        from gcnbmp_tpu.models.heads import MLPHead
+
+        if isinstance(self.head, MLPHead) and (extras_left or extras_right):
+            left = jnp.concatenate([g1] + extras_left, axis=-1)
+            right = jnp.concatenate(extras_right + [g2], axis=-1)
+            logits = self.head(left, right)
+        else:
+            logits = self.head(g1, g2)
+        if return_aux:
+            return logits, {"g1": g1, "g2": g2, "aux1": aux1, "aux2": aux2}
+        return logits
+
+
 class FixedEmbeddingPredictor(nn.Module):
     """Scoring heads over fixed precomputed drug embeddings —
     the reference's DDIPredictor for mol2vec / autoencoder / SSP features
