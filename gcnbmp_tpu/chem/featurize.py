@@ -66,6 +66,7 @@ class MolGraph:
     edge_dst: np.ndarray
     edge_type: np.ndarray
     atom_feats: Optional[np.ndarray] = None
+    pair_feats: Optional[np.ndarray] = None  # (N, N, F) Weave pair features
     smiles: str = ""
 
     @property
@@ -331,14 +332,13 @@ class WeaveFeaturizer:
             raise FeaturizeError(f"{n} atoms > max_atoms={self.max_atoms}")
         feats = np.stack([weave_atom_features(mol, i) for i in range(n)])
         src, dst, typ = _edges_from_mol(mol)
-        g = MolGraph(
+        return MolGraph(
             atom_ids=np.full((n,), -1, dtype=np.int32),
             edge_src=src, edge_dst=dst, edge_type=typ,
-            atom_feats=feats, smiles=mol.smiles,
+            atom_feats=feats,
+            pair_feats=weave_pair_features(mol) if self.with_pair_features else None,
+            smiles=mol.smiles,
         )
-        if self.with_pair_features:
-            g.pair_feats = weave_pair_features(mol)  # type: ignore[attr-defined]
-        return g
 
 
 @dataclass

@@ -189,6 +189,18 @@ class FixedEmbeddingPredictor(nn.Module):
         return logits
 
 
+def predict_proba(predictor, params, atoms1, adj1, atoms2, adj2,
+                  mask1=None, mask2=None):
+    """sigmoid probabilities + pair embeddings — the reference
+    ``predictor.predict`` contract (train_ddi_modify_eval2.py:106-127,
+    consumed by eval_coattention's MyEvaluator)."""
+    logits, aux = predictor.apply(
+        {"params": params}, atoms1, adj1, atoms2, adj2, mask1, mask2,
+        deterministic=True, return_aux=True,
+    )
+    return jax.nn.sigmoid(logits), (aux["g1"], aux["g2"])
+
+
 def set_up_predictor(
     method: str = "ggnn",
     fp_hidden_dim: int = 16,

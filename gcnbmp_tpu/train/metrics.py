@@ -53,11 +53,13 @@ def multilabel_metrics(
     labels = np.asarray(labels).astype(np.int64)
     probs = _sigmoid(logits)
     preds = (probs >= threshold).astype(np.int64)
-    rocs, prcs, f1s, accs = [], [], [], []
+    rocs, prcs, f1s, accs, precs, recs = [], [], [], [], [], []
     for c in range(labels.shape[1]):
         y = labels[:, c]
         accs.append(float((preds[:, c] == y).mean()))
         f1s.append(float(skm.f1_score(y, preds[:, c], zero_division=0)))
+        precs.append(float(skm.precision_score(y, preds[:, c], zero_division=0)))
+        recs.append(float(skm.recall_score(y, preds[:, c], zero_division=0)))
         if 0 < y.sum() < y.size:
             rocs.append(float(skm.roc_auc_score(y, probs[:, c])))
             p, r, _ = skm.precision_recall_curve(y, probs[:, c])
@@ -67,6 +69,8 @@ def multilabel_metrics(
         "roc_auc": float(np.mean(rocs)) if rocs else float("nan"),
         "prc_auc": float(np.mean(prcs)) if prcs else float("nan"),
         "f1": float(np.mean(f1s)) if f1s else float("nan"),
+        "precision": float(np.mean(precs)) if precs else float("nan"),
+        "recall": float(np.mean(recs)) if recs else float("nan"),
     }
 
 
