@@ -71,6 +71,9 @@ class TrainConfig:
     snapshot_interval: int = 2                # epochs (reference :701)
     resume: Optional[str] = None
     plot_reports: bool = True                 # loss.png / accuracy.png
+    eval_train: bool = True                   # per-epoch train-set metrics
+                                              # (reference behavior; turn off
+                                              # to halve per-epoch eval cost)
     profile_epoch: Optional[int] = None       # jax.profiler trace this epoch
     check_numerics: bool = False              # fail fast on nan/inf loss
 

@@ -445,11 +445,15 @@ class Trainer:
                 "edges_per_s": epoch_edges / epoch_dt,
             }
             # epoch-end evaluators on train & val (reference :607-671)
-            tr_logits, tr_labels = collect_logits(
-                eval_step, state.params, self.train_ds, cfg.batch_size, self.pad_to
-            )
-            for k, v in compute_metrics(tr_logits, tr_labels, cfg.class_num).items():
-                entry[f"train/{k}"] = v
+            if cfg.eval_train:
+                tr_logits, tr_labels = collect_logits(
+                    eval_step, state.params, self.train_ds, cfg.batch_size,
+                    self.pad_to,
+                )
+                for k, v in compute_metrics(
+                    tr_logits, tr_labels, cfg.class_num
+                ).items():
+                    entry[f"train/{k}"] = v
             val_loss = None
             if self.val_ds is not None and len(self.val_ds):
                 v_logits, v_labels = collect_logits(
