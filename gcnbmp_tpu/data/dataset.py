@@ -137,15 +137,20 @@ class PairDataset:
         )
         return out
 
-    def rebalance(self, rng: np.random.Generator) -> "PairDataset":
-        """Subsample the majority class to match the minority (binary
-        labels only; reference: train_ddi_modify_eval2.py:525-551)."""
+    def rebalance(
+        self, rng: np.random.Generator, ratio: float = 1.0
+    ) -> "PairDataset":
+        """Subsample to a pos:neg ratio (default 1:1 = the reference's
+        balance option, train_ddi_modify_eval2.py:525-551; other ratios
+        cover utils.py split_dataset_imbalance)."""
         labels = np.asarray([float(np.ravel(l)[0]) for l in self.labels])
         pos = np.flatnonzero(labels > 0.5)
         neg = np.flatnonzero(labels <= 0.5)
-        k = min(len(pos), len(neg))
+        k_pos = min(len(pos), int(len(neg) * ratio))
+        k_neg = min(len(neg), int(np.ceil(k_pos / ratio)))
         keep = np.concatenate(
-            [rng.choice(pos, k, replace=False), rng.choice(neg, k, replace=False)]
+            [rng.choice(pos, k_pos, replace=False),
+             rng.choice(neg, k_neg, replace=False)]
         )
         rng.shuffle(keep)
         return self.subset(keep.tolist())
