@@ -43,6 +43,15 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--patience", dest="early_stop_patience", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--compute-path", dest="compute_path", default=None,
+                   choices=["padded", "packed", "fused"])
+    p.add_argument("--loss", default=None, choices=["sigmoid_ce", "hinge", "focal"])
+    p.add_argument("--no-eval-train", dest="eval_train", action="store_false",
+                   default=None)
+    p.add_argument("--concat-hidden", dest="concat_hidden", action="store_true",
+                   default=None)
+    p.add_argument("--layer-aggregator", dest="layer_aggregator", default=None)
+    p.add_argument("--dropout", dest="fp_dropout_rate", type=float, default=None)
     p.add_argument("--out", dest="out_dir", default=None)
     p.add_argument("--resume", default=None)
     p.add_argument("--labels-csv", dest="labels_csv", default=None,
