@@ -73,16 +73,53 @@ class ChainerGRUCell(nn.Module):
     """
 
     features: int
+    # Optionally merge the three x-side matmuls into one (.., 2H) x
+    # (2H, 3H) pass and the two h-side gate matmuls into (.., H) x
+    # (H, 2H): identical math and identical parameter tree (kernels
+    # concatenated at apply time).  Measured SLOWER on TPU v5e (8.5 vs
+    # 7.1 ms/step for the packed flagship) — XLA schedules the unmerged
+    # form better — so off by default; kept for other hardware.
+    merge_matmuls: bool = False
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        dense = lambda name: nn.Dense(
-            self.features, kernel_init=LecunNormal(), name=name
+        f = self.features
+        if not self.merge_matmuls:
+            dense = lambda name: nn.Dense(f, kernel_init=LecunNormal(), name=name)
+            z = jax.nn.sigmoid(dense("W_z")(x) + dense("U_z")(h))
+            r = jax.nn.sigmoid(dense("W_r")(x) + dense("U_r")(h))
+            h_bar = jnp.tanh(dense("W")(x) + dense("U")(r * h))
+            return z * h_bar + (1.0 - z) * h
+        in_x, in_h = x.shape[-1], h.shape[-1]
+        pick = lambda name, shape: _DenseParams(shape, f, name=name)()
+        kwz, bwz = pick("W_z", in_x)
+        kwr, bwr = pick("W_r", in_x)
+        kwn, bwn = pick("W", in_x)
+        kuz, buz = pick("U_z", in_h)
+        kur, bur = pick("U_r", in_h)
+        kun, bun = pick("U", in_h)
+        gx = x @ jnp.concatenate([kwz, kwr, kwn], axis=1) + jnp.concatenate(
+            [bwz, bwr, bwn]
         )
-        z = jax.nn.sigmoid(dense("W_z")(x) + dense("U_z")(h))
-        r = jax.nn.sigmoid(dense("W_r")(x) + dense("U_r")(h))
-        h_bar = jnp.tanh(dense("W")(x) + dense("U")(r * h))
+        gh = h @ jnp.concatenate([kuz, kur], axis=1) + jnp.concatenate([buz, bur])
+        z = jax.nn.sigmoid(gx[..., :f] + gh[..., :f])
+        r = jax.nn.sigmoid(gx[..., f:2 * f] + gh[..., f:])
+        h_bar = jnp.tanh(gx[..., 2 * f:] + (r * h) @ kun + bun)
         return z * h_bar + (1.0 - z) * h
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in producing the exact tree of an nn.Dense
+    ({kernel, bias}) without forcing a separate matmul."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", LecunNormal(), (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class MLP(nn.Module):
