@@ -43,6 +43,7 @@ class TrainConfig:
     # steps run over 128-atom packed tiles (~3x faster); 'fused' also
     # uses the Pallas kernel.  'padded' = reference-style batching.
     compute_path: str = "padded"              # padded | packed | fused
+    prefetch: int = 2                         # batches staged ahead (0 = off)
 
     # optimization (flagship: DDI.md:6 — lr 1e-3, x0.5 at [10..60], b=32)
     loss: str = "sigmoid_ce"                  # sigmoid_ce | hinge | focal

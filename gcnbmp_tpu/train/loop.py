@@ -404,6 +404,10 @@ class Trainer:
                     self.train_ds, cfg.batch_size, shuffle=True,
                     rng=self.np_rng, pad_to=self.pad_to, drop_remainder=True,
                 )
+            if cfg.prefetch > 0:
+                from gcnbmp_tpu.data.prefetch import PrefetchIterator
+
+                batches = PrefetchIterator(batches, depth=cfg.prefetch)
             for batch in batches:
                 if packed:
                     state.params, state.opt_state, loss, _ = train_step(
