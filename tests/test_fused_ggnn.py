@@ -86,3 +86,24 @@ def test_fused_gradient_parity():
             np.asarray(flat_fused[key]), np.asarray(v),
             rtol=2e-3, atol=2e-5, err_msg=key,
         )
+
+
+def test_pair_bilinear_affinity_kernel_matches_xla():
+    from gcnbmp_tpu.ops.coattn_kernel import (
+        pair_bilinear_affinity,
+        pair_bilinear_affinity_xla,
+    )
+
+    rng = np.random.default_rng(0)
+    b, nk, nq, h = 4, 16, 24, 32
+    key = jnp.asarray(rng.normal(size=(b, nk, h)).astype(np.float32))
+    query = jnp.asarray(rng.normal(size=(b, nq, h)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(h, h)).astype(np.float32) * 0.2)
+    v1 = jnp.asarray(rng.normal(size=(h, 1)).astype(np.float32))
+    v2 = jnp.asarray(rng.normal(size=(h, 1)).astype(np.float32))
+    c = jnp.float32(0.3)
+    ref = pair_bilinear_affinity_xla(key, query, w, v1, v2, c)
+    with pltpu.force_tpu_interpret_mode():
+        got = pair_bilinear_affinity(key, query, w, v1, v2, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
