@@ -27,12 +27,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _affinity_kernel(activation, key_ref, query_ref, w_ref, v1_ref, v2_ref,
                      c_ref, out_ref):
+    hi = jax.lax.Precision.HIGHEST  # f32 MXU passes: the affinity feeds a
+    # softmax, where bf16 error near decision boundaries is visible
     key = key_ref[0]      # (Nk, H)
     query = query_ref[0]  # (Nq, H)
-    kw = jnp.dot(key, w_ref[:], preferred_element_type=jnp.float32)  # (Nk, G)
-    e = jnp.dot(query, kw.T, preferred_element_type=jnp.float32)     # (Nq, Nk)
-    e = e + jnp.dot(key, v1_ref[:], preferred_element_type=jnp.float32).T
-    e = e + jnp.dot(query, v2_ref[:], preferred_element_type=jnp.float32)
+    kw = jnp.dot(key, w_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)  # (Nk, G)
+    e = jnp.dot(query, kw.T, preferred_element_type=jnp.float32, precision=hi)
+    e = e + jnp.dot(key, v1_ref[:], preferred_element_type=jnp.float32,
+                    precision=hi).T
+    e = e + jnp.dot(query, v2_ref[:], preferred_element_type=jnp.float32,
+                    precision=hi)
     e = e + c_ref[0, 0]
     if activation == "tanh":
         e = jnp.tanh(e)
