@@ -58,9 +58,20 @@ DEFAULT_BWD_BLOCK_TILES = 4
 MERGE_GATES = False
 
 
+# Aggregate with ONE (T, 4T) x (4T, H) matmul per tile (contraction 512)
+# instead of 4 separate (T, T) x (T, H) passes: 4x fewer MXU dispatches
+# for the instruction-count-dominated aggregation.  The (4T, H) stack is
+# built from sublane-ALIGNED row slices (offsets multiples of T=128),
+# which Mosaic lowers — unlike lane-offset slice concats.  Requires the
+# adjacency pre-flattened to (K, T, 4T).
+AGG_FLAT = True
+
+
 def _layer_fwd(k_tiles, h, state, adj, wmsg, bmsg,
                wz, uz, bz, wr, ur, br, wn, un, bn):
-    """One GGNN layer on a (K*T, H) block; adj: (K, 4, T, T) f32."""
+    """One GGNN layer on a (K*T, H) block.
+
+    adj: (K, T, 4T) flattened (AGG_FLAT) or (K, 4, T, T), f32."""
     t = TILE
     hw = [
         jnp.dot(h, wmsg[e], preferred_element_type=jnp.float32) + bmsg[e]
@@ -68,11 +79,17 @@ def _layer_fwd(k_tiles, h, state, adj, wmsg, bmsg,
     ]  # 4 x (KT, H)
     m_parts = []
     for k in range(k_tiles):
-        m_k = jnp.dot(adj[k, 0], hw[0][k * t:(k + 1) * t],
-                      preferred_element_type=jnp.float32)
-        for e in range(1, NUM_EDGE_TYPE):
-            m_k = m_k + jnp.dot(adj[k, e], hw[e][k * t:(k + 1) * t],
-                                preferred_element_type=jnp.float32)
+        if AGG_FLAT:
+            hw_stack = jnp.concatenate(
+                [hw[e][k * t:(k + 1) * t] for e in range(NUM_EDGE_TYPE)], axis=0
+            )  # (4T, H)
+            m_k = jnp.dot(adj[k], hw_stack, preferred_element_type=jnp.float32)
+        else:
+            m_k = jnp.dot(adj[k, 0], hw[0][k * t:(k + 1) * t],
+                          preferred_element_type=jnp.float32)
+            for e in range(1, NUM_EDGE_TYPE):
+                m_k = m_k + jnp.dot(adj[k, e], hw[e][k * t:(k + 1) * t],
+                                    preferred_element_type=jnp.float32)
         m_parts.append(m_k)
     m = jnp.concatenate(m_parts, axis=0)  # (KT, H)
     x = jnp.concatenate([h, m], axis=-1)
@@ -192,21 +209,39 @@ def _bwd_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref, bmsg_ref,
         dbr_ref[...] += jnp.sum(dr_pre, axis=0, keepdims=True)
         dbn_ref[...] += jnp.sum(dn_pre, axis=0, keepdims=True)
 
-        # message backward per edge type: m_k += A_ke @ hw_e[k]
-        for e in range(NUM_EDGE_TYPE):
-            dhw_e = jnp.concatenate(
-                [
-                    jnp.dot(adj[k, e].T, dm[k * t:(k + 1) * t],
-                            preferred_element_type=jnp.float32)
-                    for k in range(k_tiles)
-                ],
-                axis=0,
-            )  # (KT, H)
-            dwmsg_ref[l, e] += jnp.dot(h_in.T, dhw_e,
-                                       preferred_element_type=jnp.float32)
-            dbmsg_ref[l, e] += jnp.sum(dhw_e, axis=0, keepdims=True)
-            dh_in = dh_in + jnp.dot(dhw_e, wmsg_ref[l, e].T,
-                                    preferred_element_type=jnp.float32)
+        # message backward
+        if AGG_FLAT:
+            # dhw_stack_k = adj_flat[k]^T @ dm_k : ONE (4T, T) x (T, H)
+            # matmul per tile; per-edge rows are sublane-aligned slices
+            dhw_stacks = [
+                jnp.dot(adj[k].T, dm[k * t:(k + 1) * t],
+                        preferred_element_type=jnp.float32)  # (4T, H)
+                for k in range(k_tiles)
+            ]
+            for e in range(NUM_EDGE_TYPE):
+                dhw_e = jnp.concatenate(
+                    [s[e * t:(e + 1) * t] for s in dhw_stacks], axis=0
+                )  # (KT, H)
+                dwmsg_ref[l, e] += jnp.dot(h_in.T, dhw_e,
+                                           preferred_element_type=jnp.float32)
+                dbmsg_ref[l, e] += jnp.sum(dhw_e, axis=0, keepdims=True)
+                dh_in = dh_in + jnp.dot(dhw_e, wmsg_ref[l, e].T,
+                                        preferred_element_type=jnp.float32)
+        else:
+            for e in range(NUM_EDGE_TYPE):
+                dhw_e = jnp.concatenate(
+                    [
+                        jnp.dot(adj[k, e].T, dm[k * t:(k + 1) * t],
+                                preferred_element_type=jnp.float32)
+                        for k in range(k_tiles)
+                    ],
+                    axis=0,
+                )  # (KT, H)
+                dwmsg_ref[l, e] += jnp.dot(h_in.T, dhw_e,
+                                           preferred_element_type=jnp.float32)
+                dbmsg_ref[l, e] += jnp.sum(dhw_e, axis=0, keepdims=True)
+                dh_in = dh_in + jnp.dot(dhw_e, wmsg_ref[l, e].T,
+                                        preferred_element_type=jnp.float32)
         # for l >= 1, state IS this layer's input tensor
         dh = dh_in + (dstate if l > 0 else 0.0)
 
@@ -219,6 +254,15 @@ def _weight_args(msg_w, msg_b, gru):
     return (msg_w, msg_b2, gru["wz"], gru["uz"], gru["bz"].reshape(1, -1),
             gru["wr"], gru["ur"], gru["br"].reshape(1, -1),
             gru["wn"], gru["un"], gru["bn"].reshape(1, -1))
+
+
+def _prep_adj(adj, k_tiles):
+    """Pad tiles; flatten to (P, T, 4T) when AGG_FLAT
+    (adj_flat[p, i, e*T+j] = adj[p, e, i, j])."""
+    if AGG_FLAT:
+        p, e, t, _ = adj.shape
+        adj = jnp.transpose(adj, (0, 2, 1, 3)).reshape(p, t, e * t)
+    return _pad_tiles(adj, k_tiles)
 
 
 def _pad_tiles(x, k_tiles):
@@ -251,8 +295,11 @@ def _specs(k, t, h, args, dh=False):
                                       memory_space=pltpu.VMEM)
     specs = [
         pl.BlockSpec((k, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, NUM_EDGE_TYPE, t, t), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((k, t, NUM_EDGE_TYPE * t), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+         if AGG_FLAT else
+         pl.BlockSpec((k, NUM_EDGE_TYPE, t, t), lambda i: (i, 0, 0, 0),
+                      memory_space=pltpu.VMEM)),
         full(args[0].shape), full(args[1].shape),
         full(args[2].shape), full(args[3].shape), full((1, h)),
         full(args[5].shape), full(args[6].shape), full((1, h)),
@@ -270,7 +317,7 @@ def _fused_ggnn_fwd(n_layers, h0, adj, msg_w, msg_b, gru,
     p, t, h = h0.shape
     k = min(block_tiles, p)
     args = _weight_args(msg_w, msg_b, gru)
-    adjp = _pad_tiles(adj, k)
+    adjp = _prep_adj(adj, k)
     h0p = _pad_tiles(h0, k)
     pp = h0p.shape[0]
     out = pl.pallas_call(
@@ -290,7 +337,7 @@ def _fused_ggnn_bwd(n_layers, residuals, dh_final,
     p, t, h = h0.shape
     k = min(block_tiles, p)
     args = _weight_args(msg_w, msg_b, gru)
-    adjp = _pad_tiles(adj, k)
+    adjp = _prep_adj(adj, k)
     h0p = _pad_tiles(h0, k)
     dhp = _pad_tiles(dh_final, k)
     pp = h0p.shape[0]
