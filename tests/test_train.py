@@ -108,3 +108,27 @@ def test_multilabel_metrics_skips_degenerate_columns():
     m = multilabel_metrics(logits, labels)
     assert m["roc_auc"] == 1.0
     assert np.isfinite(m["accuracy"])
+
+
+def test_exponential_shift_schedule():
+    from gcnbmp_tpu.train.schedules import exponential_shift_schedule
+
+    sched = exponential_shift_schedule(1e-3, (10, 20), steps_per_epoch=5, rate=0.5)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(49)) == pytest.approx(1e-3)   # epoch 9
+    assert float(sched(50)) == pytest.approx(5e-4)   # epoch 10 boundary
+    assert float(sched(100)) == pytest.approx(2.5e-4)
+
+
+def test_cyclical_schedules():
+    from gcnbmp_tpu.train.schedules import cyclical_schedule
+
+    tri = cyclical_schedule(1e-4, 1e-3, step_size=10, mode="triangular")
+    assert float(tri(0)) == pytest.approx(1e-4)
+    assert float(tri(10)) == pytest.approx(1e-3)    # peak of first cycle
+    assert float(tri(20)) == pytest.approx(1e-4)    # back to base
+    tri2 = cyclical_schedule(1e-4, 1e-3, step_size=10, mode="triangular2")
+    assert float(tri2(30)) == pytest.approx(1e-4 + (1e-3 - 1e-4) / 2)  # halved amp
+    expr = cyclical_schedule(1e-4, 1e-3, step_size=10, mode="exp_range",
+                             gamma=0.99)
+    assert float(expr(10)) < float(tri(10))  # decayed peak
