@@ -255,6 +255,7 @@ def batch_iterator(
     repeat: bool = False,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     fill_last: bool = True,
+    supernode_fn=None,
 ) -> Iterator[PaddedPairBatch]:
     """SerialIterator + concat_mols equivalent.
 
@@ -276,6 +277,7 @@ def batch_iterator(
             yield make_batch(
                 ds, idx.tolist(), pad_to=pad_to, buckets=buckets,
                 fill_batch_to=batch_size if fill_last else None,
+                supernode_fn=supernode_fn,
             )
         if not repeat:
             break

@@ -173,15 +173,25 @@ class GGNN_GWM(nn.Module):
 
 class GWMPairPredictor(nn.Module):
     """Siamese GGNN_GWM pair predictor (6-ary input incl. supernodes;
-    reference train_ggnn_hole_with_gwm.py:123-194)."""
+    reference train_ggnn_hole_with_gwm.py:123-194).
+
+    Signature matches PairPredictor with the supernode vectors as two
+    trailing arguments, so the standard training/eval steps can thread
+    them straight from the batch."""
 
     encoder: nn.Module
     head: nn.Module
     symmetric: Optional[str] = None
 
     @nn.compact
-    def __call__(self, atoms1, adj1, super1, atoms2, adj2, super2,
-                 mask1=None, mask2=None, deterministic=True, return_aux=False):
+    def __call__(self, atoms1, adj1, atoms2, adj2, mask1=None, mask2=None,
+                 super1=None, super2=None, deterministic=True,
+                 return_aux=False):
+        if super1 is None or super2 is None:
+            raise ValueError(
+                "GWMPairPredictor requires supernode features (build "
+                "batches with make_batch(..., supernode_fn=...))"
+            )
         g1, aux1 = self.encoder(atoms1, adj1, super1, mask1, deterministic)
         g2, aux2 = self.encoder(atoms2, adj2, super2, mask2, deterministic)
         logits = self.head(g1, g2)

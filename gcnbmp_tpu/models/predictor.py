@@ -228,6 +228,26 @@ def set_up_predictor(
     from gcnbmp_tpu.models import ENCODERS
     from gcnbmp_tpu.models.coattention import build_coattention
 
+    if method == "ggnn-gwm":
+        # GGNN + Graph Warp Module (reference train_ggnn_hole_with_gwm.py)
+        from gcnbmp_tpu.models.gwm import GGNN_GWM, GWMPairPredictor
+
+        if sim_method not in HEADS:
+            raise ValueError(f"unknown sim_method {sim_method!r}")
+        head_kwargs: Dict[str, Any] = {"out_dim": class_num}
+        if sim_method in ("hole", "mlp", "symmlp", "ntn", "dist-mult"):
+            head_kwargs["hidden_dims"] = tuple(net_hidden_dims)
+        return GWMPairPredictor(
+            encoder=GGNN_GWM(
+                out_dim=fp_out_dim, hidden_dim=fp_hidden_dim,
+                hidden_dim_super=fp_hidden_dim, n_layers=conv_layers,
+                dropout_ratio=fp_dropout_rate, concat_hidden=concat_hidden,
+                weight_tying=weight_tying, name="encoder",
+            ),
+            head=HEADS[sim_method](name="head", **head_kwargs),
+            symmetric=symmetric,
+        )
+
     if method not in ENCODERS:
         raise ValueError(f"unknown encoder method {method!r}")
 

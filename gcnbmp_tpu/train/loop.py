@@ -154,24 +154,33 @@ class TrainState:
 
 
 def make_train_step(predictor, optimizer, class_num: int = 1,
-                    loss: Callable = sigmoid_cross_entropy):
-    """Returns jitted (params, opt_state, batch_arrays, rng) -> updated."""
+                    loss: Callable = sigmoid_cross_entropy,
+                    uses_supernodes: bool = False):
+    """Returns jitted (params, opt_state, batch_arrays[, supers], rng) ->
+    updated.  ``uses_supernodes`` threads the GWM supernode vectors."""
 
-    def loss_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2, labels, rng):
+    def loss_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2,
+                supers, labels, rng):
+        kwargs = {}
+        if uses_supernodes:
+            kwargs = {"super1": supers[0], "super2": supers[1]}
         logits = predictor.apply(
             {"params": params},
             atoms1, adj1, atoms2, adj2, mask1, mask2,
             deterministic=False,
             rngs={"dropout": rng},
+            **kwargs,
         )
         if class_num == 1:
             logits = jnp.reshape(logits, labels.shape)
         return loss(logits, labels), logits
 
     @jax.jit
-    def step_fn(params, opt_state, atoms1, adj1, atoms2, adj2, mask1, mask2, labels, rng):
+    def step_fn(params, opt_state, atoms1, adj1, atoms2, adj2, mask1, mask2,
+                supers, labels, rng):
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, atoms1, adj1, atoms2, adj2, mask1, mask2, labels, rng
+            params, atoms1, adj1, atoms2, adj2, mask1, mask2, supers,
+            labels, rng,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -230,29 +239,38 @@ def packed_batch_iterator(ds: PairDataset, batch_size: int, num_tiles: int,
         yield pack_pair_dataset_batch(ds, idx, num_tiles=num_tiles)
 
 
-def make_eval_step(predictor):
+def make_eval_step(predictor, uses_supernodes: bool = False):
     @jax.jit
-    def eval_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2):
+    def eval_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2, supers):
+        kwargs = {}
+        if uses_supernodes:
+            kwargs = {"super1": supers[0], "super2": supers[1]}
         return predictor.apply(
             {"params": params}, atoms1, adj1, atoms2, adj2, mask1, mask2,
-            deterministic=True,
+            deterministic=True, **kwargs,
         )
 
     return eval_fn
 
 
 def collect_logits(
-    eval_fn, params, ds: PairDataset, batch_size: int, pad_to: Optional[int]
+    eval_fn, params, ds: PairDataset, batch_size: int, pad_to: Optional[int],
+    supernode_fn=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full-dataset logits (BatchEvaluator pattern)."""
     logits_all: List[np.ndarray] = []
     labels_all: List[np.ndarray] = []
     for batch in batch_iterator(
-        ds, batch_size, shuffle=False, pad_to=pad_to, drop_remainder=False
+        ds, batch_size, shuffle=False, pad_to=pad_to, drop_remainder=False,
+        supernode_fn=supernode_fn,
     ):
+        supers = (
+            (jnp.asarray(batch.super1), jnp.asarray(batch.super2))
+            if batch.super1 is not None else ()
+        )
         out = eval_fn(
             params, batch.atoms1, batch.adj1, batch.atoms2, batch.adj2,
-            batch.mask1, batch.mask2,
+            batch.mask1, batch.mask2, supers,
         )
         labels = np.asarray(batch.labels)
         logits = np.asarray(out).reshape(labels.shape)
@@ -308,6 +326,24 @@ class Trainer:
             symmetric=config.symmetric,
             mask_padding=config.mask_padding,
         )
+        # GWM supernode plumbing (reference train_ggnn_hole_with_gwm.py:321-347)
+        self.uses_supernodes = config.method == "ggnn-gwm"
+        self.supernode_fn = None
+        if self.uses_supernodes:
+            from gcnbmp_tpu.chem.smiles import mol_from_smiles
+            from gcnbmp_tpu.models.gwm import supernode_features
+
+            def supernode_fn(smiles):
+                mol = mol_from_smiles(smiles)
+                if mol is None:
+                    import numpy as _np
+
+                    from gcnbmp_tpu.models.gwm import DEFAULT_N_SUPER_FEATURE
+
+                    return _np.zeros((DEFAULT_N_SUPER_FEATURE,), _np.float32)
+                return supernode_features(mol)
+
+            self.supernode_fn = supernode_fn
         self.steps_per_epoch = max(1, len(self.train_ds) // config.batch_size)
         self.optimizer, self.schedule = build_optimizer(config, self.steps_per_epoch)
         # fixed pad size for the whole run -> one jit shape (remote TPU
@@ -326,13 +362,21 @@ class Trainer:
         cfg = self.config
         rng = jax.random.PRNGKey(cfg.seed)
         init_batch = make_batch(
-            self.train_ds, list(range(min(2, len(self.train_ds)))), pad_to=self.pad_to
+            self.train_ds, list(range(min(2, len(self.train_ds)))),
+            pad_to=self.pad_to, supernode_fn=self.supernode_fn,
         )
+        init_kwargs = {}
+        if self.uses_supernodes:
+            init_kwargs = {
+                "super1": jnp.asarray(init_batch.super1),
+                "super2": jnp.asarray(init_batch.super2),
+            }
         variables = self.predictor.init(
             rng,
             jnp.asarray(init_batch.atoms1), jnp.asarray(init_batch.adj1),
             jnp.asarray(init_batch.atoms2), jnp.asarray(init_batch.adj2),
             jnp.asarray(init_batch.mask1), jnp.asarray(init_batch.mask2),
+            **init_kwargs,
         )
         params = variables["params"]
         opt_state = self.optimizer.init(params)
@@ -378,9 +422,10 @@ class Trainer:
             self.num_tiles = estimate_tiles(worst, TILE, slack=1.0) + 1
         else:
             train_step = make_train_step(
-                self.predictor, self.optimizer, cfg.class_num, self.loss_fn
+                self.predictor, self.optimizer, cfg.class_num, self.loss_fn,
+                uses_supernodes=self.uses_supernodes,
             )
-        eval_step = make_eval_step(self.predictor)
+        eval_step = make_eval_step(self.predictor, self.uses_supernodes)
         dropout_rng = jax.random.PRNGKey(cfg.seed + 1)
 
         os.makedirs(cfg.out_dir, exist_ok=True)
@@ -403,6 +448,7 @@ class Trainer:
                 batches = batch_iterator(
                     self.train_ds, cfg.batch_size, shuffle=True,
                     rng=self.np_rng, pad_to=self.pad_to, drop_remainder=True,
+                    supernode_fn=self.supernode_fn,
                 )
             if cfg.prefetch > 0:
                 from gcnbmp_tpu.data.prefetch import PrefetchIterator
@@ -421,12 +467,16 @@ class Trainer:
                     )
                 else:
                     dropout_rng, sub = jax.random.split(dropout_rng)
+                    supers = (
+                        (jnp.asarray(batch.super1), jnp.asarray(batch.super2))
+                        if batch.super1 is not None else ()
+                    )
                     state.params, state.opt_state, loss, _ = train_step(
                         state.params, state.opt_state,
                         jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
                         jnp.asarray(batch.atoms2), jnp.asarray(batch.adj2),
                         jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
-                        jnp.asarray(batch.labels), sub,
+                        supers, jnp.asarray(batch.labels), sub,
                     )
                 loss = float(loss)
                 if cfg.check_numerics and not np.isfinite(loss):
@@ -452,7 +502,7 @@ class Trainer:
             if cfg.eval_train:
                 tr_logits, tr_labels = collect_logits(
                     eval_step, state.params, self.train_ds, cfg.batch_size,
-                    self.pad_to,
+                    self.pad_to, supernode_fn=self.supernode_fn,
                 )
                 for k, v in compute_metrics(
                     tr_logits, tr_labels, cfg.class_num
@@ -461,7 +511,8 @@ class Trainer:
             val_loss = None
             if self.val_ds is not None and len(self.val_ds):
                 v_logits, v_labels = collect_logits(
-                    eval_step, state.params, self.val_ds, cfg.batch_size, self.pad_to
+                    eval_step, state.params, self.val_ds, cfg.batch_size,
+                    self.pad_to, supernode_fn=self.supernode_fn,
                 )
                 val_loss = float(
                     self.loss_fn(

@@ -78,10 +78,35 @@ def test_gwm_pair_predictor():
         head=HolEHead(out_dim=1, hidden_dims=(), name="head"),
     )
     args = (jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
-            jnp.asarray(batch.super1),
             jnp.asarray(batch.atoms2), jnp.asarray(batch.adj2),
-            jnp.asarray(batch.super2),
-            jnp.asarray(batch.mask1), jnp.asarray(batch.mask2))
+            jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
+            jnp.asarray(batch.super1), jnp.asarray(batch.super2))
     variables = pred.init(jax.random.PRNGKey(0), *args)
     out = pred.apply(variables, *args)
     assert out.shape == (3, 1) and np.isfinite(np.asarray(out)).all()
+
+
+def test_gwm_trainer_end_to_end(tmp_path):
+    from gcnbmp_tpu.train import TrainConfig, Trainer
+
+    rng = np.random.default_rng(0)
+    f = GGNNFeaturizer()
+    oxy = ["CCO", "CC(=O)O", "OCCO", "COC"]
+    nox = ["CC", "CCC", "c1ccccc1", "CCN"]
+    ds = PairDataset()
+    for _ in range(32):
+        if rng.random() < 0.5:
+            s1, s2, y = rng.choice(oxy), rng.choice(oxy), 1.0
+        else:
+            s1, s2, y = rng.choice(nox), rng.choice(oxy + nox), 0.0
+        ds.append(f(mol_from_smiles(s1)), f(mol_from_smiles(s2)), np.float32(y))
+    cfg = TrainConfig(
+        method="ggnn-gwm", sim_method="hole", fp_hidden_dim=8, fp_out_dim=8,
+        conv_layers=2, batch_size=8, learning_rate=5e-3, epochs=6,
+        early_stop_patience=100, out_dir=str(tmp_path / "gwm"),
+        snapshot_interval=100, seed=0, plot_reports=False,
+    )
+    result = Trainer(cfg, ds, val_ds=ds).fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert np.isfinite(log[-1]["val/roc_auc"])
