@@ -70,10 +70,16 @@ def main(argv=None):
     state = restore_checkpoint(os.path.join(args.run, args.checkpoint), template)
     out_dir = args.out or os.path.join(args.run, "eval")
 
+    supernode_fn = None
+    if cfg.method == "ggnn-gwm":
+        from gcnbmp_tpu.models.gwm import default_supernode_fn
+
+        supernode_fn = default_supernode_fn()
     result = evaluate_dataset(
         trainer.predictor, state.params, ds, out_dir=out_dir,
         source_csv=args.test, batch_size=args.batch_size,
         class_num=cfg.class_num, is_successful=res.is_successful,
+        supernode_fn=supernode_fn,
     )
     print(json.dumps(result.metrics))
 

@@ -36,18 +36,25 @@ class PairEvaluator:
     and the pair's molecular embeddings."""
 
     def __init__(self, predictor, params, batch_size: int = 32,
-                 pad_to: Optional[int] = None, class_num: int = 1):
+                 pad_to: Optional[int] = None, class_num: int = 1,
+                 supernode_fn=None):
         self.predictor = predictor
         self.params = params
         self.batch_size = batch_size
         self.pad_to = pad_to
         self.class_num = class_num
+        self.supernode_fn = supernode_fn
+
+        uses_supers = supernode_fn is not None
 
         @jax.jit
-        def eval_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2):
+        def eval_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2, supers):
+            kwargs = (
+                {"super1": supers[0], "super2": supers[1]} if uses_supers else {}
+            )
             logits, aux = predictor.apply(
                 {"params": params}, atoms1, adj1, atoms2, adj2, mask1, mask2,
-                deterministic=True, return_aux=True,
+                deterministic=True, return_aux=True, **kwargs,
             )
             return logits, aux["g1"], aux["g2"]
 
@@ -62,13 +69,19 @@ class PairEvaluator:
         else:
             pad_to = self.pad_to
         for batch in batch_iterator(
-            ds, self.batch_size, shuffle=False, pad_to=pad_to
+            ds, self.batch_size, shuffle=False, pad_to=pad_to,
+            supernode_fn=self.supernode_fn,
         ):
+            supers = (
+                (jnp.asarray(batch.super1), jnp.asarray(batch.super2))
+                if batch.super1 is not None else ()
+            )
             logits, g1, g2 = self._eval_fn(
                 self.params,
                 jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
                 jnp.asarray(batch.atoms2), jnp.asarray(batch.adj2),
                 jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
+                supers,
             )
             labels = np.asarray(batch.labels)
             logits = np.asarray(logits).reshape(
@@ -135,10 +148,12 @@ def evaluate_dataset(
     predictor, params, ds: PairDataset, out_dir: Optional[str] = None,
     source_csv: Optional[str] = None, batch_size: int = 32,
     class_num: int = 1, is_successful: Optional[np.ndarray] = None,
+    supernode_fn=None,
 ) -> EvalResult:
     """One-call evaluation + optional exports + eval_result.json."""
     result = PairEvaluator(
-        predictor, params, batch_size=batch_size, class_num=class_num
+        predictor, params, batch_size=batch_size, class_num=class_num,
+        supernode_fn=supernode_fn,
     ).evaluate(ds)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

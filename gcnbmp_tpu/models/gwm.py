@@ -204,6 +204,20 @@ class GWMPairPredictor(nn.Module):
         return logits
 
 
+def default_supernode_fn(n_super_feature: int = DEFAULT_N_SUPER_FEATURE):
+    """SMILES -> supernode feature vector (zeros for unparseable/fill
+    rows); the standard supernode_fn for batchers and evaluators."""
+    from gcnbmp_tpu.chem.smiles import mol_from_smiles
+
+    def fn(smiles: str) -> np.ndarray:
+        mol = mol_from_smiles(smiles) if smiles else None
+        if mol is None:
+            return np.zeros((n_super_feature,), np.float32)
+        return supernode_features(mol, n_super_feature)
+
+    return fn
+
+
 def supernode_features(
     mol: Mol, n_super_feature: int = DEFAULT_N_SUPER_FEATURE
 ) -> np.ndarray:

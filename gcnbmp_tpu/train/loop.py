@@ -330,20 +330,9 @@ class Trainer:
         self.uses_supernodes = config.method == "ggnn-gwm"
         self.supernode_fn = None
         if self.uses_supernodes:
-            from gcnbmp_tpu.chem.smiles import mol_from_smiles
-            from gcnbmp_tpu.models.gwm import supernode_features
+            from gcnbmp_tpu.models.gwm import default_supernode_fn
 
-            def supernode_fn(smiles):
-                mol = mol_from_smiles(smiles)
-                if mol is None:
-                    import numpy as _np
-
-                    from gcnbmp_tpu.models.gwm import DEFAULT_N_SUPER_FEATURE
-
-                    return _np.zeros((DEFAULT_N_SUPER_FEATURE,), _np.float32)
-                return supernode_features(mol)
-
-            self.supernode_fn = supernode_fn
+            self.supernode_fn = default_supernode_fn()
         self.steps_per_epoch = max(1, len(self.train_ds) // config.batch_size)
         self.optimizer, self.schedule = build_optimizer(config, self.steps_per_epoch)
         # fixed pad size for the whole run -> one jit shape (remote TPU

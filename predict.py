@@ -56,9 +56,14 @@ def main(argv=None):
     state = restore_checkpoint(
         os.path.join(args.run, args.checkpoint), trainer._init_state()
     )
+    supernode_fn = None
+    if cfg.method == "ggnn-gwm":
+        from gcnbmp_tpu.models.gwm import default_supernode_fn
+
+        supernode_fn = default_supernode_fn()
     result = PairEvaluator(
         trainer.predictor, state.params, batch_size=args.batch_size,
-        class_num=cfg.class_num,
+        class_num=cfg.class_num, supernode_fn=supernode_fn,
     ).evaluate(res.dataset)
     probs = 1.0 / (1.0 + np.exp(-result.logits))
 
