@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 NUM_EDGE_TYPE = 4
 DEFAULT_BLOCK_TILES = 16
-DEFAULT_BWD_BLOCK_TILES = 8
+DEFAULT_BWD_BLOCK_TILES = 4
 
 
 # Merge the three x-side gate matmuls into one (KT, 2H) x (2H, 3H) pass
