@@ -322,3 +322,9 @@ def validate_drug_list(drug_df: pd.DataFrame, smiles_col: str = "smiles") -> Lis
         if mol_from_smiles(str(smi)) is None:
             bad.append(i)
     return bad
+
+
+def index_id_maps(drug_df: pd.DataFrame, id_col: str = "drugbank_id"):
+    """index <-> drug-id lookup dicts (reference utils.py index2id:34)."""
+    ids = list(drug_df[id_col])
+    return dict(enumerate(ids)), {d: i for i, d in enumerate(ids)}

@@ -68,3 +68,40 @@ def test_native_faster_than_python():
     parse_smiles_batch_native(batch, n_threads=4)
     t_nat = time.perf_counter() - t0
     assert t_nat < t_py, (t_nat, t_py)
+
+
+def test_parser_fuzz_no_crashes():
+    """Random mutations of valid SMILES: both parsers must agree on
+    accept/reject and never crash."""
+    import random
+
+    from gcnbmp_tpu.chem import GGNNFeaturizer
+
+    rng = random.Random(0)
+    alphabet = "CNOSPcnos()[]=#123456@+-HFIl Br%"
+    cases = []
+    base = [s for s in CORPUS if mol_from_smiles(s) is not None]
+    for _ in range(300):
+        s = list(rng.choice(base))
+        for _ in range(rng.randint(1, 3)):
+            op = rng.random()
+            pos = rng.randrange(len(s) + 1)
+            if op < 0.4 and s:
+                del s[min(pos, len(s) - 1)]
+            elif op < 0.8:
+                s.insert(pos, rng.choice(alphabet))
+            elif s:
+                s[min(pos, len(s) - 1)] = rng.choice(alphabet)
+        cases.append("".join(s))
+    f = GGNNFeaturizer()
+    native = parse_smiles_batch_native(cases)
+    for smi, g_nat in zip(cases, native):
+        mol = mol_from_smiles(smi)  # must not raise
+        if mol is None:
+            assert g_nat is None, smi
+        else:
+            g_py = f(mol)
+            assert g_nat is not None, smi
+            np.testing.assert_array_equal(
+                np.sort(g_nat.atom_ids), np.sort(g_py.atom_ids), err_msg=smi
+            )
