@@ -119,6 +119,8 @@ class GGNNFeaturizer:
     radius: int = 0
     max_atoms: int = -1
     out_size: int = -1
+    add_hs: bool = False     # materialize implicit H atoms (MolPreprocessor add_Hs)
+    kekulize: bool = False   # replace aromatic bonds by alternating S/D
     # WL vocabularies, built on the fly like the reference's defaultdicts.
     atom_vocab: Dict = field(default_factory=dict)
     fp_vocab: Dict = field(default_factory=dict)
@@ -156,6 +158,19 @@ class GGNNFeaturizer:
         return np.asarray(nodes, dtype=np.int32)
 
     def __call__(self, mol: Mol) -> MolGraph:
+        if self.add_hs or self.kekulize:
+            from gcnbmp_tpu.chem.transforms import (
+                add_explicit_hydrogens,
+                kekulize as kekulize_fn,
+            )
+
+            if self.kekulize:
+                kek = kekulize_fn(mol)
+                if kek is None:
+                    raise FeaturizeError(f"cannot kekulize {mol.smiles!r}")
+                mol = kek
+            if self.add_hs:
+                mol = add_explicit_hydrogens(mol)
         n = mol.num_atoms
         if 0 <= self.max_atoms < n:
             raise FeaturizeError(

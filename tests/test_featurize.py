@@ -97,3 +97,39 @@ def test_augment_swap_and_rebalance(rng):
     bal = ds.rebalance(rng)
     labels = [float(l) for l in bal.labels]
     assert sum(labels) == 1 and len(labels) == 2
+
+
+def test_featurizer_kekulize_and_add_hs():
+    from gcnbmp_tpu.chem.mol import BondOrder
+    from gcnbmp_tpu.chem.transforms import add_explicit_hydrogens, kekulize
+
+    mol = mol_from_smiles("c1ccccc1")
+    kek = kekulize(mol)
+    orders = [b.order for b in kek.bonds]
+    assert orders.count(BondOrder.DOUBLE) == 3
+    assert orders.count(BondOrder.SINGLE) == 3
+    assert not any(a.aromatic for a in kek.atoms)
+
+    g = GGNNFeaturizer(kekulize=True)(mol_from_smiles("c1ccccc1"))
+    assert (g.edge_type == 3).sum() == 0  # no aromatic channel
+    assert (g.edge_type == 1).sum() == 6  # 3 double bonds, both directions
+
+    g2 = GGNNFeaturizer(add_hs=True)(mol_from_smiles("CCO"))
+    assert g2.num_atoms == 9  # 3 heavy + 6 H
+    assert (g2.atom_ids == 1).sum() == 6
+
+    mh = add_explicit_hydrogens(mol_from_smiles("c1cc[nH]c1"))
+    assert sum(1 for a in mh.atoms if a.symbol == "H") == 4
+
+
+def test_kekulize_fused_and_heteroaromatic():
+    from gcnbmp_tpu.chem.mol import BondOrder
+    from gcnbmp_tpu.chem.transforms import kekulize
+
+    for smi, n_doubles in [("c1ccc2ccccc2c1", 5), ("c1cc[nH]c1", 2),
+                           ("c1ccoc1", 2), ("Cn1cnc2c1c(=O)n(C)c(=O)n2C", 4)]:
+        k = kekulize(mol_from_smiles(smi))
+        assert k is not None, smi
+        assert not any(b.order == BondOrder.AROMATIC for b in k.bonds), smi
+        assert sum(b.order == BondOrder.DOUBLE for b in k.bonds
+                   if True) >= 2, smi
