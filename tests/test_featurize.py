@@ -119,7 +119,7 @@ def test_featurizer_kekulize_and_add_hs():
     assert (g2.atom_ids == 1).sum() == 6
 
     mh = add_explicit_hydrogens(mol_from_smiles("c1cc[nH]c1"))
-    assert sum(1 for a in mh.atoms if a.symbol == "H") == 4
+    assert sum(1 for a in mh.atoms if a.symbol == "H") == 5  # 4 CH + 1 NH
 
 
 def test_kekulize_fused_and_heteroaromatic():
