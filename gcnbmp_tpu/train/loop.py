@@ -445,10 +445,16 @@ class Trainer:
                 batches = PrefetchIterator(batches, depth=cfg.prefetch)
             for batch in batches:
                 if packed:
+                    # bf16 adjacency is exact (0/1 values) and halves
+                    # the transfer/storage when requested
+                    adj_dtype = (
+                        np.float32 if cfg.compute_dtype == "float32"
+                        else jnp.bfloat16
+                    )
                     state.params, state.opt_state, loss, _ = train_step(
                         state.params, state.opt_state,
                         jnp.asarray(batch.atom_ids),
-                        jnp.asarray(batch.adj.astype(np.float32)),
+                        jnp.asarray(batch.adj).astype(adj_dtype),
                         jnp.asarray(batch.mol_id), jnp.asarray(batch.node_mask),
                         jnp.asarray(batch.left_index),
                         jnp.asarray(batch.right_index),

@@ -132,3 +132,22 @@ def test_cyclical_schedules():
     expr = cyclical_schedule(1e-4, 1e-3, step_size=10, mode="exp_range",
                              gamma=0.99)
     assert float(expr(10)) < float(tri(10))  # decayed peak
+
+
+def test_all_presets_train_one_epoch(tmp_path):
+    """Every BASELINE preset instantiates and completes an epoch on the
+    toy task (class_num adjusted for the multilabel preset)."""
+    import dataclasses
+
+    from gcnbmp_tpu.train.config import PRESETS
+
+    ds = _toy_dataset(n_pairs=16)
+    for name, preset in PRESETS.items():
+        cfg = dataclasses.replace(
+            preset, epochs=1, batch_size=8, fp_hidden_dim=8, fp_out_dim=8,
+            conv_layers=2, class_num=1, out_dir=str(tmp_path / name),
+            snapshot_interval=100, early_stop_patience=100,
+            plot_reports=False, eval_train=False, augment=False,
+        )
+        result = Trainer(cfg, ds, None).fit()
+        assert np.isfinite(result["log"][-1]["main/loss"]), name
