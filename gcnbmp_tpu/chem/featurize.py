@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from gcnbmp_tpu.chem.mol import Bond, BondOrder, Mol
+from gcnbmp_tpu.chem.mol import BondOrder, Mol
 
 NUM_EDGE_TYPES = 4
 # chainer_chemistry.config.MAX_ATOMIC_NUM — embedding vocab of the

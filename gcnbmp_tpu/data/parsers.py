@@ -13,7 +13,7 @@ against a class list (reference: train_ggnn_hole_multi_class_x37.py:274
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np

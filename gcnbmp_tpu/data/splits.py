@@ -14,13 +14,11 @@ GLOBAL_SEED = 2018 (reference setting.py:13).
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
 
-from gcnbmp_tpu.chem.mol import Mol
 from gcnbmp_tpu.chem.smiles import mol_from_smiles
 
 GLOBAL_SEED = 2018

@@ -8,7 +8,7 @@ reference's committed artifact correlation_all_0.7824.png).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -7,7 +7,7 @@ mol2vec / SSP / learned GNN embeddings), reporting AUROC / AUPRC / F1.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -15,7 +15,7 @@ force-directed 2D layout (no RDKit in this environment).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

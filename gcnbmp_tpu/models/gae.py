@@ -15,7 +15,7 @@ no sparse machinery needed at this scale.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

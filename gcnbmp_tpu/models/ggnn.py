@@ -30,7 +30,6 @@ from gcnbmp_tpu.models.layers import (
     ChainerGRUCell,
     EmbedAtomID,
     GraphLinear,
-    LecunNormal,
     MAX_ATOMIC_NUM,
 )
 from gcnbmp_tpu.ops.aggregate import edge_type_aggregate

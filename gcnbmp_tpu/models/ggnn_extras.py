@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gcnbmp_tpu.models.layers import GraphLinear, LecunNormal
+from gcnbmp_tpu.models.layers import LecunNormal
 
 NEG_BIG = -9e15
 

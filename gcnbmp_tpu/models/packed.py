@@ -10,7 +10,7 @@ dense, gru/{W,U,...}, readout_0/{i,j}.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gcnbmp_tpu.models.ggnn import GGNN
 from gcnbmp_tpu.models.heads import HEADS
 
 

@@ -20,7 +20,6 @@ single-device step is asserted in tests (tests/test_parallel.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any
-
 import jax
 import numpy as np
 

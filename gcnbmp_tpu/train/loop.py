@@ -23,20 +23,13 @@ import logging
 import os
 import time
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax.core import FrozenDict
-
-from gcnbmp_tpu.data.dataset import (
-    PaddedPairBatch,
-    PairDataset,
-    batch_iterator,
-    make_batch,
-)
+from gcnbmp_tpu.data.dataset import PairDataset, batch_iterator, make_batch
 from gcnbmp_tpu.train.config import TrainConfig
 from gcnbmp_tpu.train.metrics import compute_metrics
 from gcnbmp_tpu.train.schedules import (

@@ -11,7 +11,7 @@ evaluators (training/multilabel_extensions/roc_auc_evaluator.py:119-128).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 from sklearn import metrics as skm
