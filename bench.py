@@ -245,6 +245,56 @@ def measure_fused(device, iters):
     return edges / dt, dt, edges
 
 
+def measure_coo(device, iters):
+    """The COO input path: on-device adjacency build inside the step
+    (compute_path='coo'; native C++ packer when built).  This is the
+    sustained-training path — the dense paths above stage the adjacency
+    on device once, which a real input pipeline cannot."""
+    from gcnbmp_tpu.data import native_pack
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+    from gcnbmp_tpu.models.packed import coo_batch_args, make_packed_predictor
+    from gcnbmp_tpu.train.loop import sigmoid_cross_entropy
+
+    ds = build_dataset()
+    if native_pack.native_pack_available():
+        cache = native_pack.PairDatasetCache(ds)
+        coo = native_pack.pack_pairs_native(cache, list(range(BATCH)))
+    else:
+        coo = pack_pair_dataset_coo(ds, list(range(BATCH)))
+    predictor = make_packed_predictor(
+        fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
+        weight_tying=False, sim_method="hole", coo=True,
+    )
+    optimizer = optax.adam(1e-3)
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    args = tuple(put(a) for a in coo_batch_args(coo))
+    y = put(coo.labels)
+    variables = predictor.init(jax.random.PRNGKey(0), *args)
+    params = jax.device_put(variables["params"], device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+
+    def loss_fn(p):
+        logits = predictor.apply({"params": p}, *args)
+        return sigmoid_cross_entropy(jnp.reshape(logits, y.shape), y)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    for _ in range(WARMUP):
+        params, opt_state, loss = step(params, opt_state)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state)
+    assert np.isfinite(float(loss))
+    dt = (time.perf_counter() - t0) / iters
+    edges = float(coo.num_edges)
+    return edges / dt, dt, edges
+
+
 def cpu_baseline():
     global BATCH
     key = f"cpu256x{PAD_N}x{HIDDEN}x{LAYERS}"
@@ -278,6 +328,12 @@ def main():
     print(f"# packed: step {dt_pk*1e3:.2f} ms, {edges_pk:.0f} edges/batch, "
           f"{tiles} tiles, occupancy {occ:.2f}, {eps_pk/1e6:.1f}M edges/s",
           file=sys.stderr)
+    if os.environ.get("GCNBMP_BENCH_COO") == "1":
+        # sustained-path diagnostic (on-device adjacency build); opt-in to
+        # keep the driver's bench run fast (one fewer remote compile)
+        eps_coo, dt_coo, _ = measure_coo(device, ITERS)
+        print(f"# coo: step {dt_coo*1e3:.2f} ms, {eps_coo/1e6:.1f}M edges/s",
+              file=sys.stderr)
     eps_fu = 0.0
     if os.environ.get("GCNBMP_BENCH_FUSED") == "1":
         # the fused kernel compiles ~10 min through the remote tunnel and

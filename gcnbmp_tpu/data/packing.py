@@ -62,7 +62,9 @@ class PackedGraphBatch:
 def _first_fit_pack(sizes: Sequence[int], tile: int) -> List[List[int]]:
     """First-fit-decreasing bin packing; returns list of molecule-index
     lists per tile."""
-    order = np.argsort(np.asarray(sizes))[::-1]
+    # stable sort so the order is well-defined under ties — the native
+    # C++ packer (native/pack.cpp) replicates exactly this ordering
+    order = np.argsort(np.asarray(sizes), kind="stable")[::-1]
     bins: List[List[int]] = []
     space: List[int] = []
     for idx in order:
@@ -153,3 +155,151 @@ def estimate_tiles(sizes: Sequence[int], tile: int = TILE, slack: float = 1.1) -
     """Upper-bound tile count for fixed-shape jit across shuffled batches."""
     total = int(np.sum(sizes))
     return int(np.ceil(slack * total / tile)) + 1
+
+
+# ---------------------------------------------------------------------------
+# COO packed batches: host ships ~1 MB of edge indices; the dense adjacency
+# is materialized ON DEVICE inside the jitted step (adj_from_coo) instead of
+# being filled host-side and transferred (~120 MB/batch for B=2048).  This is
+# the sustained-throughput input path; the dense PackedGraphBatch remains for
+# parity tests and single-batch use.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PackedCOOBatch:
+    """Packed tiles with the adjacency in COO form.
+
+    Edge arrays are padded to a fixed capacity (``e_mask`` = 1 for real
+    edges) so jit shapes stay closed across shuffled batches.
+    """
+
+    atom_ids: np.ndarray   # (P, TILE) int32
+    mol_id: np.ndarray     # (P, TILE) int32; padding slots = num_mols
+    node_mask: np.ndarray  # (P, TILE) float32
+    e_tile: np.ndarray     # (E_cap,) int32
+    e_type: np.ndarray     # (E_cap,) int32
+    e_src: np.ndarray      # (E_cap,) int32  (tile-local row, offset applied)
+    e_dst: np.ndarray      # (E_cap,) int32
+    e_mask: np.ndarray     # (E_cap,) float32
+    num_mols: int
+    left_index: np.ndarray   # (B,) int32
+    right_index: np.ndarray  # (B,) int32
+    labels: np.ndarray       # (B,) or (B, C) float32
+
+    @property
+    def num_tiles(self) -> int:
+        return int(self.atom_ids.shape[0])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.e_mask.sum())
+
+    @property
+    def occupancy(self) -> float:
+        return float(self.node_mask.mean())
+
+    def to_dense(self, tile: int = TILE) -> PackedGraphBatch:
+        """Materialize the dense adjacency host-side (tests/debug)."""
+        p = self.num_tiles
+        adj = np.zeros((p, NUM_EDGE_TYPES, tile, tile), np.float32)
+        real = self.e_mask > 0
+        adj[self.e_tile[real], self.e_type[real],
+            self.e_src[real], self.e_dst[real]] = 1.0
+        return PackedGraphBatch(
+            atom_ids=self.atom_ids, adj=adj, mol_id=self.mol_id,
+            node_mask=self.node_mask, num_mols=self.num_mols,
+            left_index=self.left_index, right_index=self.right_index,
+            labels=self.labels,
+        )
+
+
+def _pad_coo(e_tile, e_type, e_src, e_dst, edge_capacity: Optional[int]):
+    n = len(e_tile)
+    cap = n if edge_capacity is None else edge_capacity
+    if cap < n:
+        raise ValueError(f"edge_capacity={cap} < actual edges {n}")
+    out = []
+    for a in (e_tile, e_type, e_src, e_dst):
+        pad = np.zeros(cap, np.int32)
+        pad[:n] = a
+        out.append(pad)
+    mask = np.zeros(cap, np.float32)
+    mask[:n] = 1.0
+    return (*out, mask)
+
+
+def pack_pair_dataset_coo(
+    ds,
+    indices: Sequence[int],
+    tile: int = TILE,
+    num_tiles: Optional[int] = None,
+    edge_capacity: Optional[int] = None,
+) -> PackedCOOBatch:
+    """Python COO packer (spec for native/pack.cpp; identical output)."""
+    graphs: List[MolGraph] = []
+    labels = []
+    for i in indices:
+        graphs.append(ds.graphs1[i])
+        graphs.append(ds.graphs2[i])
+        labels.append(np.atleast_1d(ds.labels[i]).astype(np.float32))
+    labels = np.stack(labels)
+    if labels.shape[-1] == 1:
+        labels = labels[:, 0]
+    n_mols = len(graphs)
+    sizes = [g.num_atoms for g in graphs]
+    bins = _first_fit_pack(sizes, tile)
+    p = len(bins)
+    if num_tiles is not None:
+        if num_tiles < p:
+            raise ValueError(f"num_tiles={num_tiles} < required {p}")
+        p = num_tiles
+    atom_ids = np.zeros((p, tile), np.int32)
+    mol_id = np.full((p, tile), n_mols, np.int32)
+    node_mask = np.zeros((p, tile), np.float32)
+    placements: List[Tuple[int, int, int]] = []
+    for b, members in enumerate(bins):
+        off = 0
+        for idx in sorted(members):
+            placements.append((idx, b, off))
+            off += sizes[idx]
+    placements.sort(key=lambda t: (t[1], t[2]))
+    remap = np.empty(n_mols, np.int32)
+    et_l, es_l, ed_l, tl_l = [], [], [], []
+    for new_id, (orig_idx, b, off) in enumerate(placements):
+        remap[orig_idx] = new_id
+        g = graphs[orig_idx]
+        k = g.num_atoms
+        atom_ids[b, off : off + k] = g.atom_ids
+        mol_id[b, off : off + k] = new_id
+        node_mask[b, off : off + k] = 1.0
+        et_l.append(g.edge_type.astype(np.int32))
+        es_l.append((g.edge_src + off).astype(np.int32))
+        ed_l.append((g.edge_dst + off).astype(np.int32))
+        tl_l.append(np.full(g.edge_type.shape[0], b, np.int32))
+    e_tile, e_type, e_src, e_dst, e_mask = _pad_coo(
+        np.concatenate(tl_l), np.concatenate(et_l),
+        np.concatenate(es_l), np.concatenate(ed_l), edge_capacity,
+    )
+    return PackedCOOBatch(
+        atom_ids=atom_ids, mol_id=mol_id, node_mask=node_mask,
+        e_tile=e_tile, e_type=e_type, e_src=e_src, e_dst=e_dst, e_mask=e_mask,
+        num_mols=n_mols,
+        left_index=remap[0::2].astype(np.int32),
+        right_index=remap[1::2].astype(np.int32),
+        labels=np.asarray(labels, np.float32),
+    )
+
+
+def estimate_edge_capacity(ds, batch_size: int, tile: int = TILE,
+                           slack: float = 1.15) -> int:
+    """Upper-bound directed-edge count per packed batch of ``batch_size``
+    pairs, for fixed COO shapes across shuffled batches."""
+    per_pair = [
+        ds.graphs1[i].num_edges + ds.graphs2[i].num_edges
+        for i in range(len(ds))
+    ]
+    mean = float(np.mean(per_pair)) if per_pair else 0.0
+    peak = float(np.max(per_pair)) if per_pair else 0.0
+    est = mean * batch_size * slack + peak
+    return int(np.ceil(est / 128.0) * 128) + 128

@@ -101,6 +101,43 @@ class PackedPairPredictor(nn.Module):
         return self.head(g1, g2)
 
 
+class PackedPairPredictorCOO(nn.Module):
+    """PackedPairPredictor taking the adjacency as a padded COO edge list;
+    the dense tile adjacency is built on device (ops/aggregate.adj_from_coo)
+    so the host ships ~#edges ints instead of the P*4*T*T tensor.
+    Parameter tree is identical to PackedPairPredictor (same encoder/head
+    submodules) — weights swap freely between the two input layouts."""
+
+    encoder: nn.Module  # a PackedGGNN, name='encoder'
+    head: nn.Module     # name='head'
+    adj_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, atom_ids, e_tile, e_type, e_src, e_dst, e_mask,
+                 mol_id, node_mask, left_index, right_index):
+        from gcnbmp_tpu.ops.aggregate import adj_from_coo
+
+        p, t = atom_ids.shape
+        adj = adj_from_coo(
+            e_tile, e_type, e_src, e_dst, e_mask, num_tiles=p, tile=t,
+            dtype=self.adj_dtype,
+        )
+        num_mols = 2 * left_index.shape[0]
+        g, _ = self.encoder(atom_ids, adj, mol_id, node_mask, num_mols)
+        g1 = jnp.take(g, left_index, axis=0)
+        g2 = jnp.take(g, right_index, axis=0)
+        return self.head(g1, g2)
+
+
+def coo_batch_args(batch) -> Tuple:
+    """The PackedCOOBatch fields in PackedPairPredictorCOO.__call__ order."""
+    return (
+        batch.atom_ids, batch.e_tile, batch.e_type, batch.e_src,
+        batch.e_dst, batch.e_mask, batch.mol_id, batch.node_mask,
+        batch.left_index, batch.right_index,
+    )
+
+
 def fused_pair_logits(
     predictor: "PackedPairPredictor",
     params,
@@ -150,16 +187,21 @@ def make_packed_predictor(
     sim_method: str = "hole",
     class_num: int = 1,
     net_hidden_dims=(),
+    coo: bool = False,
+    adj_dtype=jnp.float32,
 ) -> PackedPairPredictor:
     from gcnbmp_tpu.models.heads import HEADS
 
     head_kwargs: Dict[str, Any] = {"out_dim": class_num}
     if sim_method in ("hole", "mlp", "symmlp", "ntn", "dist-mult"):
         head_kwargs["hidden_dims"] = tuple(net_hidden_dims)
-    return PackedPairPredictor(
-        encoder=PackedGGNN(
-            out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
-            weight_tying=weight_tying, name="encoder",
-        ),
-        head=HEADS[sim_method](name="head", **head_kwargs),
+    encoder = PackedGGNN(
+        out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
+        weight_tying=weight_tying, name="encoder",
     )
+    head = HEADS[sim_method](name="head", **head_kwargs)
+    if coo:
+        return PackedPairPredictorCOO(
+            encoder=encoder, head=head, adj_dtype=adj_dtype
+        )
+    return PackedPairPredictor(encoder=encoder, head=head)

@@ -50,3 +50,29 @@ def edge_type_aggregate(adj: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
 def edge_type_aggregate_reference(adj: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
     """Direct transcription of the reference loop (for tests)."""
     return jnp.einsum("beij,bejh->bih", adj, msg)
+
+
+def adj_from_coo(
+    e_tile: jnp.ndarray,
+    e_type: jnp.ndarray,
+    e_src: jnp.ndarray,
+    e_dst: jnp.ndarray,
+    e_mask: jnp.ndarray,
+    num_tiles: int,
+    tile: int,
+    num_edge_types: int = 4,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Materialize the dense (P, E, T, T) tile adjacency on device from a
+    padded COO edge list (one scatter-add; padding edges carry mask 0 so
+    they contribute nothing wherever their indices point).
+
+    This keeps the host->device transfer at ~#edges ints per batch instead
+    of the P*4*T*T dense tensor — the adjacency itself only ever exists in
+    HBM.  No reference counterpart (its batching is host-side pad-to-max,
+    chainer_chemistry concat_mols); TPU-first input path per SURVEY §7.1.
+    """
+    adj = jnp.zeros((num_tiles, num_edge_types, tile, tile), dtype)
+    return adj.at[e_tile, e_type, e_src, e_dst].add(
+        e_mask.astype(dtype), mode="drop"
+    )

@@ -40,9 +40,11 @@ class TrainConfig:
     balance: bool = False                     # pos/neg rebalance
     max_pad: Optional[int] = None             # fixed pad size (else buckets)
     # packed-supergraph fast path (GGNN + no co-attention only): train
-    # steps run over 128-atom packed tiles (~3x faster); 'fused' also
+    # steps run over 128-atom packed tiles (~3x faster); 'coo' ships the
+    # adjacency as a COO edge list and materializes it on device (fastest
+    # sustained input path; native C++ packer when built); 'fused' also
     # uses the Pallas kernel.  'padded' = reference-style batching.
-    compute_path: str = "padded"              # padded | packed | fused
+    compute_path: str = "padded"              # padded | packed | coo | fused
     prefetch: int = 2                         # batches staged ahead (0 = off)
 
     # optimization (flagship: DDI.md:6 — lr 1e-3, x0.5 at [10..60], b=32)

@@ -232,6 +232,60 @@ def packed_batch_iterator(ds: PairDataset, batch_size: int, num_tiles: int,
         yield pack_pair_dataset_batch(ds, idx, num_tiles=num_tiles)
 
 
+def make_packed_coo_train_step(coo_predictor, optimizer, class_num: int = 1,
+                               loss: Callable = sigmoid_cross_entropy):
+    """Train step over COO packed batches (PackedCOOBatch): the host ships
+    ~#edges ints; the dense tile adjacency is materialized on device inside
+    the step (models/packed.PackedPairPredictorCOO)."""
+
+    def loss_fn(params, args, labels):
+        logits = coo_predictor.apply({"params": params}, *args)
+        if class_num == 1:
+            logits = jnp.reshape(logits, labels.shape)
+        return loss(logits, labels), logits
+
+    @jax.jit
+    def step_fn(params, opt_state, args, labels):
+        (l, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, args, labels
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l, logits
+
+    return step_fn
+
+
+def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
+                              num_tiles: int, edge_capacity: int,
+                              rng: np.random.Generator):
+    """Shuffled COO packed batches with fixed tile/edge capacities.  Uses
+    the native C++ packer (native/pack.cpp) when available — the Python
+    packer costs ~200 ms/2048-pair batch vs ~7 ms device step — and falls
+    back to the Python spec implementation otherwise."""
+    from gcnbmp_tpu.data import native_pack
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+
+    cache = None
+    if native_pack.native_pack_available():
+        cache = getattr(ds, "_native_pack_cache", None)
+        if cache is None:
+            cache = native_pack.PairDatasetCache(ds)
+            ds._native_pack_cache = cache
+    order = np.arange(len(ds))
+    rng.shuffle(order)
+    for start in range(0, len(ds) - batch_size + 1, batch_size):
+        idx = order[start:start + batch_size].tolist()
+        if cache is not None:
+            yield native_pack.pack_pairs_native(
+                cache, idx, num_tiles=num_tiles, edge_capacity=edge_capacity
+            )
+        else:
+            yield pack_pair_dataset_coo(
+                ds, idx, num_tiles=num_tiles, edge_capacity=edge_capacity
+            )
+
+
 def make_eval_step(predictor, uses_supernodes: bool = False):
     @jax.jit
     def eval_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2, supers):
@@ -377,21 +431,33 @@ class Trainer:
             if cfg.loss == "focal" else {}
         )
         self.loss_fn = make_loss(cfg.loss, **loss_kwargs)
-        packed = cfg.compute_path in ("packed", "fused")
+        packed = cfg.compute_path in ("packed", "fused", "coo")
+        coo = cfg.compute_path == "coo"
         if packed:
             self._check_packed_compatible()
             from gcnbmp_tpu.models.packed import make_packed_predictor
 
+            adj_dtype = (
+                jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+            )
             packed_predictor = make_packed_predictor(
                 fp_hidden_dim=cfg.fp_hidden_dim, fp_out_dim=cfg.fp_out_dim,
                 conv_layers=cfg.conv_layers, weight_tying=cfg.weight_tying,
                 sim_method=cfg.sim_method, class_num=cfg.class_num,
-                net_hidden_dims=cfg.net_hidden_dims,
+                net_hidden_dims=cfg.net_hidden_dims, coo=coo,
+                adj_dtype=adj_dtype,
             )
-            train_step = make_packed_train_step(
-                self.predictor, packed_predictor, self.optimizer,
-                cfg.class_num, self.loss_fn, fused=cfg.compute_path == "fused",
-            )
+            if coo:
+                train_step = make_packed_coo_train_step(
+                    packed_predictor, self.optimizer, cfg.class_num,
+                    self.loss_fn,
+                )
+            else:
+                train_step = make_packed_train_step(
+                    self.predictor, packed_predictor, self.optimizer,
+                    cfg.class_num, self.loss_fn,
+                    fused=cfg.compute_path == "fused",
+                )
             # safe static tile bound: the batch_size*2 largest molecules
             sizes = sorted(
                 [g.num_atoms for g in self.train_ds.graphs1]
@@ -402,6 +468,18 @@ class Trainer:
 
             worst = sizes[: 2 * cfg.batch_size]
             self.num_tiles = estimate_tiles(worst, TILE, slack=1.0) + 1
+            if coo:
+                # safe static edge bound: the batch_size heaviest pairs
+                per_pair = sorted(
+                    (
+                        self.train_ds.graphs1[i].num_edges
+                        + self.train_ds.graphs2[i].num_edges
+                        for i in range(len(self.train_ds))
+                    ),
+                    reverse=True,
+                )
+                cap = int(sum(per_pair[: cfg.batch_size]))
+                self.edge_capacity = ((cap + 127) // 128) * 128 + 128
         else:
             train_step = make_train_step(
                 self.predictor, self.optimizer, cfg.class_num, self.loss_fn,
@@ -422,7 +500,12 @@ class Trainer:
             epoch_losses = []
             epoch_edges = 0
             epoch_t0 = time.time()
-            if packed:
+            if coo:
+                batches = packed_coo_batch_iterator(
+                    self.train_ds, cfg.batch_size, self.num_tiles,
+                    self.edge_capacity, self.np_rng,
+                )
+            elif packed:
                 batches = packed_batch_iterator(
                     self.train_ds, cfg.batch_size, self.num_tiles, self.np_rng
                 )
@@ -437,7 +520,17 @@ class Trainer:
 
                 batches = PrefetchIterator(batches, depth=cfg.prefetch)
             for batch in batches:
-                if packed:
+                if coo:
+                    from gcnbmp_tpu.models.packed import coo_batch_args
+
+                    args = tuple(
+                        jnp.asarray(a) for a in coo_batch_args(batch)
+                    )
+                    state.params, state.opt_state, loss, _ = train_step(
+                        state.params, state.opt_state, args,
+                        jnp.asarray(batch.labels),
+                    )
+                elif packed:
                     # bf16 adjacency is exact (0/1 values) and halves
                     # the transfer/storage when requested
                     adj_dtype = (
@@ -566,7 +659,7 @@ class Trainer:
             problems.append("concat_hidden/layer_aggregator")
         if problems:
             raise ValueError(
-                "compute_path='packed'/'fused' supports the plain Siamese "
+                "compute_path='packed'/'coo'/'fused' supports the plain Siamese "
                 "GGNN configuration only; incompatible options: "
                 + ", ".join(problems)
             )

@@ -27,7 +27,7 @@ def _toy(n=48, seed=0):
     return ds
 
 
-@pytest.mark.parametrize("path", ["packed", "fused"])
+@pytest.mark.parametrize("path", ["packed", "coo", "fused"])
 def test_packed_training_learns(tmp_path, path):
     if path == "fused":
         from jax.experimental.pallas import tpu as pltpu
