@@ -12,16 +12,24 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
 import jax
 
 
 class PrefetchIterator:
-    """Wrap a batch iterator; stage ``depth`` batches ahead on a worker
-    thread, optionally transferring each to the device via ``transfer``.
+    """Wrap a batch iterator; stage ``depth`` batches ahead, optionally
+    transferring each to the device via ``transfer``.
 
-    Exceptions on the worker are re-raised at the consumer.
+    ``workers`` > 1 runs the transfer stage on a thread pool (order
+    preserved): through a high-latency link (the axon relay costs tens of
+    ms per staged batch, far above the device step) concurrent transfers
+    are the difference between a transfer-bound and a compute-bound
+    pipeline.  Batch *production* stays on the single producer thread
+    (the upstream iterator is rarely thread-safe).
+
+    Exceptions on any worker are re-raised at the consumer.
     """
 
     _SENTINEL = object()
@@ -31,19 +39,30 @@ class PrefetchIterator:
         iterator: Iterator,
         depth: int = 2,
         transfer: Optional[Callable] = None,
+        workers: int = 1,
     ):
         self._it = iterator
         self._transfer = transfer or (lambda b: b)
-        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, workers))
         self._err: Optional[BaseException] = None
         self._done = False
+        self._pool = (
+            ThreadPoolExecutor(max_workers=workers)
+            if (workers > 1 and transfer is not None) else None
+        )
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self):
         try:
-            for batch in self._it:
-                self._q.put(self._transfer(batch))
+            if self._pool is None:
+                for batch in self._it:
+                    self._q.put((None, self._transfer(batch)))
+            else:
+                # queue futures in order; the bounded queue applies
+                # backpressure to the producer
+                for batch in self._it:
+                    self._q.put((self._pool.submit(self._transfer, batch), None))
         except BaseException as e:  # noqa: BLE001 - re-raised at consumer
             self._err = e
         finally:
@@ -58,11 +77,14 @@ class PrefetchIterator:
         item = self._q.get()
         if item is self._SENTINEL:
             self._done = True
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
             if self._err is not None:
                 err, self._err = self._err, None
                 raise err
             raise StopIteration
-        return item
+        fut, value = item
+        return value if fut is None else fut.result()
 
 
 def device_put_batch(batch, device=None):

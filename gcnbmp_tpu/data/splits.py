@@ -14,7 +14,7 @@ GLOBAL_SEED = 2018 (reference setting.py:13).
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import pandas as pd

@@ -138,6 +138,69 @@ def coo_batch_args(batch) -> Tuple:
     )
 
 
+class PackedPairPredictorCOOCompact(nn.Module):
+    """PackedPairPredictorCOO taking the wire-compact batch encoding
+    (compact_coo_arrays): one (2, P, T) node array, one bit-packed int32
+    edge array, and an edge count — ~2.5x fewer host->device bytes and 6
+    instead of 11 transfers per batch.  Both masks are derived on device
+    (padding slots carry mol_id == num_mols; padding edges are the tail
+    beyond n_edges).  Parameter tree identical to the other packed
+    predictors."""
+
+    encoder: nn.Module  # a PackedGGNN, name='encoder'
+    head: nn.Module     # name='head'
+    adj_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, nodes, e_packed, n_edges, left_index, right_index):
+        from gcnbmp_tpu.ops.aggregate import adj_from_coo
+
+        atom_ids, mol_id = nodes[0], nodes[1]
+        p, t = atom_ids.shape
+        sbits = int(t - 1).bit_length()
+        num_mols = 2 * left_index.shape[0]
+        node_mask = (mol_id < num_mols).astype(jnp.float32)
+        e_dst = e_packed & (t - 1)
+        e_src = (e_packed >> sbits) & (t - 1)
+        e_type = (e_packed >> (2 * sbits)) & 3
+        e_tile = e_packed >> (2 * sbits + 2)
+        e_mask = (
+            jnp.arange(e_packed.shape[0], dtype=n_edges.dtype) < n_edges
+        ).astype(jnp.float32)
+        adj = adj_from_coo(
+            e_tile, e_type, e_src, e_dst, e_mask, num_tiles=p, tile=t,
+            dtype=self.adj_dtype,
+        )
+        g, _ = self.encoder(atom_ids, adj, mol_id, node_mask, num_mols)
+        g1 = jnp.take(g, left_index, axis=0)
+        g2 = jnp.take(g, right_index, axis=0)
+        return self.head(g1, g2)
+
+
+def compact_coo_arrays(batch) -> Tuple:
+    """Encode a PackedCOOBatch into the wire-compact form consumed by
+    PackedPairPredictorCOOCompact (numpy, ~1 ms/batch):
+
+        nodes (2, P, T) int32, e_packed (E,) int32, n_edges () int32,
+        left_index (B,), right_index (B,)
+
+    Edge fields pack as tile | type | src | dst with src/dst in
+    log2(T)-bit lanes (T=128 -> 7 bits; 4*P*T^2 must fit in int31,
+    i.e. P < 2^15 tiles)."""
+    import numpy as np
+
+    t = batch.atom_ids.shape[1]
+    sbits = int(t - 1).bit_length()
+    nodes = np.stack([batch.atom_ids, batch.mol_id])
+    e_packed = (
+        ((batch.e_tile << 2 | batch.e_type) << (2 * sbits))
+        | (batch.e_src << sbits)
+        | batch.e_dst
+    ).astype(np.int32)
+    n_edges = np.int32(batch.num_edges)
+    return nodes, e_packed, n_edges, batch.left_index, batch.right_index
+
+
 def fused_pair_logits(
     predictor: "PackedPairPredictor",
     params,
@@ -188,6 +251,7 @@ def make_packed_predictor(
     class_num: int = 1,
     net_hidden_dims=(),
     coo: bool = False,
+    compact: bool = False,
     adj_dtype=jnp.float32,
 ) -> PackedPairPredictor:
     from gcnbmp_tpu.models.heads import HEADS
@@ -200,6 +264,10 @@ def make_packed_predictor(
         weight_tying=weight_tying, name="encoder",
     )
     head = HEADS[sim_method](name="head", **head_kwargs)
+    if compact:
+        return PackedPairPredictorCOOCompact(
+            encoder=encoder, head=head, adj_dtype=adj_dtype
+        )
     if coo:
         return PackedPairPredictorCOO(
             encoder=encoder, head=head, adj_dtype=adj_dtype

@@ -46,6 +46,9 @@ class TrainConfig:
     # uses the Pallas kernel.  'padded' = reference-style batching.
     compute_path: str = "padded"              # padded | packed | coo | fused
     prefetch: int = 2                         # batches staged ahead (0 = off)
+    prefetch_workers: int = 4                 # concurrent device transfers
+                                              # (coo path; >1 hides per-batch
+                                              # transfer latency)
 
     # optimization (flagship: DDI.md:6 — lr 1e-3, x0.5 at [10..60], b=32)
     loss: str = "sigmoid_ce"                  # sigmoid_ce | hinge | focal
@@ -78,7 +81,7 @@ class TrainConfig:
                                               # (reference behavior; turn off
                                               # to halve per-epoch eval cost)
     profile_epoch: Optional[int] = None       # jax.profiler trace this epoch
-    check_numerics: bool = False              # fail fast on nan/inf loss
+    check_numerics: bool = False              # fail fast on nan/inf loss (checked once per epoch)
 
     def lr_shift_epochs(self) -> Tuple[int, ...]:
         """The three manual ExponentialShift schedules

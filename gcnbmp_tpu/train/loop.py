@@ -444,7 +444,7 @@ class Trainer:
                 fp_hidden_dim=cfg.fp_hidden_dim, fp_out_dim=cfg.fp_out_dim,
                 conv_layers=cfg.conv_layers, weight_tying=cfg.weight_tying,
                 sim_method=cfg.sim_method, class_num=cfg.class_num,
-                net_hidden_dims=cfg.net_hidden_dims, coo=coo,
+                net_hidden_dims=cfg.net_hidden_dims, compact=coo,
                 adj_dtype=adj_dtype,
             )
             if coo:
@@ -518,17 +518,40 @@ class Trainer:
             if cfg.prefetch > 0:
                 from gcnbmp_tpu.data.prefetch import PrefetchIterator
 
-                batches = PrefetchIterator(batches, depth=cfg.prefetch)
+                transfer = None
+                if coo:
+                    # stage host->device transfers on the prefetch thread so
+                    # they overlap with the device step (through the axon
+                    # relay a serialized transfer costs ~100 ms/step — 15x
+                    # the step itself); ship the wire-compact encoding
+                    # (bit-packed edges, masks derived on device)
+                    from gcnbmp_tpu.models.packed import compact_coo_arrays
+
+                    def transfer(b):
+                        return (
+                            jax.device_put(compact_coo_arrays(b)),
+                            jax.device_put(b.labels),
+                            b.num_edges,
+                        )
+
+                batches = PrefetchIterator(
+                    batches, depth=cfg.prefetch, transfer=transfer,
+                    workers=cfg.prefetch_workers if coo else 1,
+                )
             for batch in batches:
                 if coo:
-                    from gcnbmp_tpu.models.packed import coo_batch_args
+                    if isinstance(batch, tuple):  # staged by the prefetcher
+                        args, labels, batch_edges = batch
+                    else:
+                        from gcnbmp_tpu.models.packed import compact_coo_arrays
 
-                    args = tuple(
-                        jnp.asarray(a) for a in coo_batch_args(batch)
-                    )
+                        args = tuple(
+                            jnp.asarray(a) for a in compact_coo_arrays(batch)
+                        )
+                        labels = jnp.asarray(batch.labels)
+                        batch_edges = batch.num_edges
                     state.params, state.opt_state, loss, _ = train_step(
-                        state.params, state.opt_state, args,
-                        jnp.asarray(batch.labels),
+                        state.params, state.opt_state, args, labels,
                     )
                 elif packed:
                     # bf16 adjacency is exact (0/1 values) and halves
@@ -559,14 +582,22 @@ class Trainer:
                         jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
                         supers, jnp.asarray(batch.labels), sub,
                     )
-                loss = float(loss)
-                if cfg.check_numerics and not np.isfinite(loss):
-                    raise FloatingPointError(
-                        f"non-finite loss {loss} at step {state.step}"
-                    )
+                # keep the loss on device — a per-step float() fetch is a
+                # full round trip through the remote relay and serializes
+                # the whole pipeline; fetch once per epoch instead
                 epoch_losses.append(loss)
-                epoch_edges += batch.num_edges
+                epoch_edges += batch_edges if coo else batch.num_edges
                 state.step += 1
+            if epoch_losses:
+                epoch_losses = np.asarray(
+                    jnp.stack(epoch_losses), np.float64
+                ).tolist()
+                if cfg.check_numerics and not np.all(np.isfinite(epoch_losses)):
+                    bad = int(np.argmax(~np.isfinite(epoch_losses)))
+                    raise FloatingPointError(
+                        f"non-finite loss {epoch_losses[bad]} at epoch "
+                        f"{epoch} step {bad}"
+                    )
             epoch_dt = max(time.time() - epoch_t0, 1e-9)
             if profiling:
                 jax.profiler.stop_trace()

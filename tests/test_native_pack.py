@@ -127,6 +127,47 @@ def test_coo_predictor_matches_dense_predictor(ds):
     )
 
 
+def test_compact_coo_predictor_matches_dense(ds):
+    from gcnbmp_tpu.models.packed import compact_coo_arrays, make_packed_predictor
+
+    idx = list(range(16))
+    dense = pack_pair_dataset_batch(ds, idx, num_tiles=4)
+    coo = pack_pair_dataset_coo(ds, idx, num_tiles=4, edge_capacity=1024)
+
+    dense_pred = make_packed_predictor(conv_layers=3, weight_tying=False)
+    compact_pred = make_packed_predictor(
+        conv_layers=3, weight_tying=False, compact=True
+    )
+    dense_args = (
+        jnp.asarray(dense.atom_ids), jnp.asarray(dense.adj),
+        jnp.asarray(dense.mol_id), jnp.asarray(dense.node_mask),
+        jnp.asarray(dense.left_index), jnp.asarray(dense.right_index),
+    )
+    compact_args = tuple(jnp.asarray(a) for a in compact_coo_arrays(coo))
+    variables = dense_pred.init(jax.random.PRNGKey(0), *dense_args)
+    out_dense = dense_pred.apply(variables, *dense_args)
+    out_compact = compact_pred.apply(variables, *compact_args)
+    np.testing.assert_allclose(
+        np.asarray(out_dense), np.asarray(out_compact), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_compact_encoding_roundtrip(ds):
+    from gcnbmp_tpu.models.packed import compact_coo_arrays
+
+    coo = pack_pair_dataset_coo(ds, list(range(24)), edge_capacity=2048)
+    nodes, e_packed, n_edges, left, right = compact_coo_arrays(coo)
+    t = coo.atom_ids.shape[1]
+    sbits = int(t - 1).bit_length()
+    np.testing.assert_array_equal(e_packed & (t - 1), coo.e_dst)
+    np.testing.assert_array_equal((e_packed >> sbits) & (t - 1), coo.e_src)
+    np.testing.assert_array_equal((e_packed >> (2 * sbits)) & 3, coo.e_type)
+    np.testing.assert_array_equal(e_packed >> (2 * sbits + 2), coo.e_tile)
+    assert int(n_edges) == coo.num_edges
+    np.testing.assert_array_equal(nodes[0], coo.atom_ids)
+    np.testing.assert_array_equal(nodes[1], coo.mol_id)
+
+
 def test_native_pack_speed(ds):
     """Native packer must beat the Python COO packer (sanity, not a bench)."""
     import time

@@ -42,6 +42,43 @@ def test_prefetch_propagates_exceptions():
         next(it)
 
 
+def test_prefetch_worker_pool_preserves_order():
+    def jittery_transfer(x):
+        time.sleep(0.01 * ((x * 7) % 3))  # out-of-order completion
+        return x * 10
+
+    items = list(range(24))
+    out = list(PrefetchIterator(iter(items), depth=4,
+                                transfer=jittery_transfer, workers=4))
+    assert out == [x * 10 for x in items]
+
+
+def test_prefetch_worker_pool_overlaps_transfers():
+    def slow_transfer(x):
+        time.sleep(0.05)
+        return x
+
+    items = list(range(8))
+    t0 = time.perf_counter()
+    out = list(PrefetchIterator(iter(items), depth=8,
+                                transfer=slow_transfer, workers=4))
+    dt = time.perf_counter() - t0
+    assert out == items
+    assert dt < 8 * 0.05  # serial would take >=0.4s
+
+
+def test_prefetch_worker_pool_propagates_transfer_exceptions():
+    def bad_transfer(x):
+        if x == 2:
+            raise ValueError("transfer boom")
+        return x
+
+    it = PrefetchIterator(iter(range(5)), depth=4,
+                          transfer=bad_transfer, workers=3)
+    with pytest.raises(ValueError, match="transfer boom"):
+        list(it)
+
+
 def test_device_put_batch_dataclass():
     from gcnbmp_tpu.chem import GGNNFeaturizer, mol_from_smiles
     from gcnbmp_tpu.data.dataset import PairDataset, make_batch
