@@ -7,9 +7,13 @@ noise ceiling ~0.95).  Run from the repo root:
     python examples/tpu_demo.py            # TPU (default platform)
     JAX_PLATFORMS=cpu python examples/tpu_demo.py
 """
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 drugs = ["CC(=O)Oc1ccccc1C(=O)O","Cn1cnc2c1c(=O)n(C)c(=O)n2C","CC(C)Cc1ccc(cc1)C(C)C(=O)O",
  "CC(=O)Nc1ccc(O)cc1","Clc1ccccc1C(=O)Nc1ccccc1","CCN(CC)CCNC(=O)c1ccc(N)cc1","OC(=O)c1ccccc1O",
  "CN1CCC[C@H]1c1cccnc1","NC(=O)c1ccc[nH]1","COc1ccc2cc(ccc2c1)C(C)C(=O)O",

@@ -291,6 +291,34 @@ def pack_pair_dataset_coo(
     )
 
 
+def molecule_slot_table(
+    mol_id: np.ndarray, num_mols: int, n_max: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-molecule flat slot indices into the packed tile layout.
+
+    Returns ``slots (num_mols, n_max) int32`` — indices into the
+    flattened (P*T,) node axis holding each molecule's atoms (pad
+    entries point at slot 0) — and ``mask (num_mols, n_max) float32``.
+    Used to gather per-molecule atom matrices for co-attention from the
+    packed encoder's node states.  Vectorized numpy, O(P*T log P*T).
+    """
+    flat = mol_id.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    counts = np.bincount(flat, minlength=num_mols + 1)[:num_mols]
+    if counts.size and counts.max(initial=0) > n_max:
+        raise ValueError(f"molecule with {counts.max()} atoms > n_max={n_max}")
+    total = int(counts.sum())
+    starts = np.zeros(num_mols + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rows = np.repeat(np.arange(num_mols), counts)
+    cols = np.arange(total) - np.repeat(starts[:-1], counts)
+    slots = np.zeros((num_mols, n_max), np.int32)
+    mask = np.zeros((num_mols, n_max), np.float32)
+    slots[rows, cols] = order[:total].astype(np.int32)
+    mask[rows, cols] = 1.0
+    return slots, mask
+
+
 def estimate_edge_capacity(ds, batch_size: int, tile: int = TILE,
                            slack: float = 1.15) -> int:
     """Upper-bound directed-edge count per packed batch of ``batch_size``

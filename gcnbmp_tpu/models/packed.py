@@ -177,6 +177,66 @@ class PackedPairPredictorCOOCompact(nn.Module):
         return self.head(g1, g2)
 
 
+class PackedCoattnPairPredictor(nn.Module):
+    """Co-attention pair predictor over the wire-compact packed layout.
+
+    Runs the Siamese packed GGNN, gathers each molecule's atom states
+    out of the tile layout via a precomputed slot table
+    (data/packing.molecule_slot_table), applies any of the 14
+    co-attention modules (models/coattention.py) with proper masks, and
+    scores with the head.  Field names match PairPredictor
+    (encoder/coattention/head) so trained weights swap freely with the
+    padded path (reference forward: train_binary.py:84-118)."""
+
+    encoder: nn.Module       # a PackedGGNN, name='encoder'
+    coattention: nn.Module   # name='coattention'
+    head: nn.Module          # name='head'
+    adj_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, nodes, e_packed, n_edges, left_index, right_index,
+                 left_slots, right_slots, left_mask, right_mask):
+        from gcnbmp_tpu.ops.aggregate import adj_from_coo
+
+        atom_ids, mol_id = nodes[0], nodes[1]
+        p, t = atom_ids.shape
+        sbits = int(t - 1).bit_length()
+        num_mols = 2 * left_index.shape[0]
+        node_mask = (mol_id < num_mols).astype(jnp.float32)
+        e_dst = e_packed & (t - 1)
+        e_src = (e_packed >> sbits) & (t - 1)
+        e_type = (e_packed >> (2 * sbits)) & 3
+        e_tile = e_packed >> (2 * sbits + 2)
+        e_mask = (
+            jnp.arange(e_packed.shape[0], dtype=n_edges.dtype) < n_edges
+        ).astype(jnp.float32)
+        adj = adj_from_coo(
+            e_tile, e_type, e_src, e_dst, e_mask, num_tiles=p, tile=t,
+            dtype=self.adj_dtype,
+        )
+        g, aux = self.encoder(atom_ids, adj, mol_id, node_mask, num_mols)
+        flat = aux["atoms"].reshape(p * t, -1)
+        atoms1 = jnp.take(flat, left_slots, axis=0) * left_mask[..., None]
+        atoms2 = jnp.take(flat, right_slots, axis=0) * right_mask[..., None]
+        g1 = jnp.take(g, left_index, axis=0)
+        g2 = jnp.take(g, right_index, axis=0)
+        g1, g2 = self.coattention(atoms1, g1, atoms2, g2, left_mask, right_mask)
+        return self.head(g1, g2)
+
+
+def compact_coattn_arrays(batch, n_max: int) -> Tuple:
+    """compact_coo_arrays plus the per-pair atom slot tables consumed by
+    PackedCoattnPairPredictor."""
+    from gcnbmp_tpu.data.packing import molecule_slot_table
+
+    base = compact_coo_arrays(batch)
+    slots, mask = molecule_slot_table(batch.mol_id, batch.num_mols, n_max)
+    return base + (
+        slots[batch.left_index], slots[batch.right_index],
+        mask[batch.left_index], mask[batch.right_index],
+    )
+
+
 def compact_coo_arrays(batch) -> Tuple:
     """Encode a PackedCOOBatch into the wire-compact form consumed by
     PackedPairPredictorCOOCompact (numpy, ~1 ms/batch):
@@ -252,6 +312,7 @@ def make_packed_predictor(
     net_hidden_dims=(),
     coo: bool = False,
     compact: bool = False,
+    attn: "str | None" = None,
     adj_dtype=jnp.float32,
 ) -> PackedPairPredictor:
     from gcnbmp_tpu.models.heads import HEADS
@@ -264,6 +325,17 @@ def make_packed_predictor(
         weight_tying=weight_tying, name="encoder",
     )
     head = HEADS[sim_method](name="head", **head_kwargs)
+    if attn is not None:
+        from gcnbmp_tpu.models.coattention import build_coattention
+
+        return PackedCoattnPairPredictor(
+            encoder=encoder,
+            coattention=build_coattention(
+                attn, hidden_dim=fp_hidden_dim, out_dim=fp_out_dim
+            ),
+            head=head,
+            adj_dtype=adj_dtype,
+        )
     if compact:
         return PackedPairPredictorCOOCompact(
             encoder=encoder, head=head, adj_dtype=adj_dtype

@@ -286,6 +286,62 @@ def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
             )
 
 
+def make_eval_step_coo(coo_predictor):
+    """Jitted eval over wire-compact COO batches (deterministic; the
+    packed-compatible configs have no dropout by construction)."""
+
+    @jax.jit
+    def eval_fn(params, args):
+        return coo_predictor.apply({"params": params}, *args)
+
+    return eval_fn
+
+
+def collect_logits_coo(
+    eval_fn, params, ds: PairDataset, batch_size: int, num_tiles: int,
+    edge_capacity: int, args_fn=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-dataset logits over the COO packed layout.  Tail batches are
+    filled by repeating row 0 (static jit shapes); fill logits are
+    dropped.  ``args_fn`` maps a PackedCOOBatch to the predictor's
+    positional args (default: the wire-compact encoding)."""
+    from gcnbmp_tpu.data import native_pack
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+    from gcnbmp_tpu.models.packed import compact_coo_arrays
+
+    if args_fn is None:
+        args_fn = compact_coo_arrays
+
+    cache = None
+    if native_pack.native_pack_available():
+        cache = getattr(ds, "_native_pack_cache", None)
+        if cache is None:
+            cache = native_pack.PairDatasetCache(ds)
+            ds._native_pack_cache = cache
+    logits_all: List[np.ndarray] = []
+    labels_all: List[np.ndarray] = []
+    n = len(ds)
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        valid = len(idx)
+        idx = idx + [0] * (batch_size - valid)
+        if cache is not None:
+            batch = native_pack.pack_pairs_native(
+                cache, idx, num_tiles=num_tiles, edge_capacity=edge_capacity
+            )
+        else:
+            batch = pack_pair_dataset_coo(
+                ds, idx, num_tiles=num_tiles, edge_capacity=edge_capacity
+            )
+        args = tuple(jnp.asarray(a) for a in args_fn(batch))
+        out = eval_fn(params, args)
+        labels = np.asarray(batch.labels)
+        logits = np.asarray(out).reshape(labels.shape)
+        logits_all.append(logits[:valid])
+        labels_all.append(labels[:valid])
+    return np.concatenate(logits_all, axis=0), np.concatenate(labels_all, axis=0)
+
+
 def make_eval_step(predictor, uses_supernodes: bool = False):
     @jax.jit
     def eval_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2, supers):
@@ -434,7 +490,8 @@ class Trainer:
         packed = cfg.compute_path in ("packed", "fused", "coo")
         coo = cfg.compute_path == "coo"
         if packed:
-            self._check_packed_compatible()
+            # co-attention rides the packed layout on the coo path only
+            self._check_packed_compatible(allow_attn=coo)
             from gcnbmp_tpu.models.packed import make_packed_predictor
 
             adj_dtype = (
@@ -445,7 +502,7 @@ class Trainer:
                 conv_layers=cfg.conv_layers, weight_tying=cfg.weight_tying,
                 sim_method=cfg.sim_method, class_num=cfg.class_num,
                 net_hidden_dims=cfg.net_hidden_dims, compact=coo,
-                adj_dtype=adj_dtype,
+                attn=cfg.attn if coo else None, adj_dtype=adj_dtype,
             )
             if coo:
                 train_step = make_packed_coo_train_step(
@@ -458,34 +515,80 @@ class Trainer:
                     cfg.class_num, self.loss_fn,
                     fused=cfg.compute_path == "fused",
                 )
-            # safe static tile bound: the batch_size*2 largest molecules
-            sizes = sorted(
-                [g.num_atoms for g in self.train_ds.graphs1]
-                + [g.num_atoms for g in self.train_ds.graphs2],
-                reverse=True,
-            )
+            # safe static bounds over every dataset the jitted programs
+            # will see (train batches are shuffled; eval batches are
+            # sequential — both are covered by the worst-case batch)
             from gcnbmp_tpu.data.packing import TILE, estimate_tiles
 
-            worst = sizes[: 2 * cfg.batch_size]
-            self.num_tiles = estimate_tiles(worst, TILE, slack=1.0) + 1
-            if coo:
-                # safe static edge bound: the batch_size heaviest pairs
+            eval_datasets = [self.train_ds]
+            if self.val_ds is not None and len(self.val_ds):
+                eval_datasets.append(self.val_ds)
+            self.num_tiles = 0
+            self.edge_capacity = 0
+            for ds in eval_datasets:
+                sizes = sorted(
+                    [g.num_atoms for g in ds.graphs1]
+                    + [g.num_atoms for g in ds.graphs2],
+                    reverse=True,
+                )
+                worst = sizes[: 2 * cfg.batch_size]
+                self.num_tiles = max(
+                    self.num_tiles, estimate_tiles(worst, TILE, slack=1.0) + 1
+                )
                 per_pair = sorted(
                     (
-                        self.train_ds.graphs1[i].num_edges
-                        + self.train_ds.graphs2[i].num_edges
-                        for i in range(len(self.train_ds))
+                        ds.graphs1[i].num_edges + ds.graphs2[i].num_edges
+                        for i in range(len(ds))
                     ),
                     reverse=True,
                 )
                 cap = int(sum(per_pair[: cfg.batch_size]))
-                self.edge_capacity = ((cap + 127) // 128) * 128 + 128
+                self.edge_capacity = max(
+                    self.edge_capacity, ((cap + 127) // 128) * 128 + 128
+                )
+            if coo:
+                from gcnbmp_tpu.models.packed import (
+                    compact_coattn_arrays,
+                    compact_coo_arrays,
+                )
+
+                if cfg.attn is not None:
+                    n_max = max(
+                        max(g.num_atoms for g in ds.graphs1)
+                        for ds in eval_datasets
+                    )
+                    n_max = max(n_max, max(
+                        max(g.num_atoms for g in ds.graphs2)
+                        for ds in eval_datasets
+                    ))
+                    n_max = ((n_max + 7) // 8) * 8  # lane-friendly pad
+                    coo_args_fn = (
+                        lambda b: compact_coattn_arrays(b, n_max)
+                    )
+                else:
+                    coo_args_fn = compact_coo_arrays
         else:
             train_step = make_train_step(
                 self.predictor, self.optimizer, cfg.class_num, self.loss_fn,
                 uses_supernodes=self.uses_supernodes,
             )
-        eval_step = make_eval_step(self.predictor, self.uses_supernodes)
+        if coo:
+            # epoch-end metric evals ride the fast COO path too
+            eval_step_coo = make_eval_step_coo(packed_predictor)
+
+            def run_eval(ds):
+                return collect_logits_coo(
+                    eval_step_coo, state.params, ds, cfg.batch_size,
+                    self.num_tiles, self.edge_capacity, args_fn=coo_args_fn,
+                )
+        else:
+            eval_step = make_eval_step(self.predictor, self.uses_supernodes)
+
+            def run_eval(ds):
+                return collect_logits(
+                    eval_step, state.params, ds, cfg.batch_size,
+                    self.pad_to, supernode_fn=self.supernode_fn,
+                )
         dropout_rng = jax.random.PRNGKey(cfg.seed + 1)
 
         os.makedirs(cfg.out_dir, exist_ok=True)
@@ -525,11 +628,9 @@ class Trainer:
                     # relay a serialized transfer costs ~100 ms/step — 15x
                     # the step itself); ship the wire-compact encoding
                     # (bit-packed edges, masks derived on device)
-                    from gcnbmp_tpu.models.packed import compact_coo_arrays
-
                     def transfer(b):
                         return (
-                            jax.device_put(compact_coo_arrays(b)),
+                            jax.device_put(coo_args_fn(b)),
                             jax.device_put(b.labels),
                             b.num_edges,
                         )
@@ -543,10 +644,8 @@ class Trainer:
                     if isinstance(batch, tuple):  # staged by the prefetcher
                         args, labels, batch_edges = batch
                     else:
-                        from gcnbmp_tpu.models.packed import compact_coo_arrays
-
                         args = tuple(
-                            jnp.asarray(a) for a in compact_coo_arrays(batch)
+                            jnp.asarray(a) for a in coo_args_fn(batch)
                         )
                         labels = jnp.asarray(batch.labels)
                         batch_edges = batch.num_edges
@@ -612,20 +711,14 @@ class Trainer:
             }
             # epoch-end evaluators on train & val (reference :607-671)
             if cfg.eval_train:
-                tr_logits, tr_labels = collect_logits(
-                    eval_step, state.params, self.train_ds, cfg.batch_size,
-                    self.pad_to, supernode_fn=self.supernode_fn,
-                )
+                tr_logits, tr_labels = run_eval(self.train_ds)
                 for k, v in compute_metrics(
                     tr_logits, tr_labels, cfg.class_num
                 ).items():
                     entry[f"train/{k}"] = v
             val_loss = None
             if self.val_ds is not None and len(self.val_ds):
-                v_logits, v_labels = collect_logits(
-                    eval_step, state.params, self.val_ds, cfg.batch_size,
-                    self.pad_to, supernode_fn=self.supernode_fn,
-                )
+                v_logits, v_labels = run_eval(self.val_ds)
                 val_loss = float(
                     self.loss_fn(
                         jnp.asarray(v_logits.reshape(v_labels.shape)),
@@ -671,13 +764,13 @@ class Trainer:
         save_checkpoint(os.path.join(cfg.out_dir, "final"), state)
         return {"state": state, "log": self.log}
 
-    def _check_packed_compatible(self) -> None:
+    def _check_packed_compatible(self, allow_attn: bool = False) -> None:
         cfg = self.config
         problems = []
         if cfg.method != "ggnn":
             problems.append(f"method={cfg.method!r} (only 'ggnn')")
-        if cfg.attn is not None:
-            problems.append("co-attention")
+        if cfg.attn is not None and not allow_attn:
+            problems.append("co-attention (use compute_path='coo')")
         if not cfg.siamese:
             problems.append("siamese=False")
         if cfg.symmetric is not None:

@@ -168,6 +168,103 @@ def test_compact_encoding_roundtrip(ds):
     np.testing.assert_array_equal(nodes[1], coo.mol_id)
 
 
+def test_collect_logits_coo_matches_padded(ds):
+    """Full-dataset eval over the COO layout == the padded eval path,
+    including a ragged tail batch."""
+    from gcnbmp_tpu.models import set_up_predictor
+    from gcnbmp_tpu.models.packed import make_packed_predictor
+    from gcnbmp_tpu.train.loop import (
+        collect_logits,
+        collect_logits_coo,
+        make_eval_step,
+        make_eval_step_coo,
+    )
+
+    predictor = set_up_predictor(
+        method="ggnn", fp_hidden_dim=8, fp_out_dim=8, conv_layers=2,
+        weight_tying=False, sim_method="hole",
+    )
+    compact_pred = make_packed_predictor(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, weight_tying=False,
+        sim_method="hole", compact=True,
+    )
+    import jax.numpy as jnp
+
+    a = jnp.zeros((2, 16), jnp.int32)
+    j = jnp.zeros((2, 4, 16, 16), jnp.float32)
+    m = jnp.ones((2, 16), jnp.float32)
+    params = predictor.init(jax.random.PRNGKey(1), a, j, a, j, m, m)["params"]
+
+    pad_logits, pad_labels = collect_logits(
+        make_eval_step(predictor), params, ds, batch_size=24, pad_to=None
+    )
+    coo_logits, coo_labels = collect_logits_coo(
+        make_eval_step_coo(compact_pred), params, ds, batch_size=24,
+        num_tiles=8, edge_capacity=2048,
+    )
+    assert len(ds) % 24 != 0  # exercises the tail-fill path
+    np.testing.assert_array_equal(pad_labels, coo_labels)
+    np.testing.assert_allclose(pad_logits, coo_logits, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("attn", ["nie", "para", "pool"])
+def test_packed_coattn_matches_padded(ds, attn):
+    """PackedCoattnPairPredictor over the COO layout == the padded
+    PairPredictor with co-attention, same weights (reference forward
+    train_binary.py:84-118)."""
+    from gcnbmp_tpu.models import set_up_predictor
+    from gcnbmp_tpu.models.packed import (
+        compact_coattn_arrays,
+        make_packed_predictor,
+    )
+    from gcnbmp_tpu.train.loop import (
+        collect_logits,
+        collect_logits_coo,
+        make_eval_step,
+        make_eval_step_coo,
+    )
+
+    predictor = set_up_predictor(
+        method="ggnn", fp_hidden_dim=8, fp_out_dim=8, conv_layers=2,
+        weight_tying=False, sim_method="hole", attn_model=attn,
+    )
+    packed_pred = make_packed_predictor(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, weight_tying=False,
+        sim_method="hole", attn=attn,
+    )
+    a = jnp.zeros((2, 16), jnp.int32)
+    j = jnp.zeros((2, 4, 16, 16), jnp.float32)
+    m = jnp.ones((2, 16), jnp.float32)
+    params = predictor.init(jax.random.PRNGKey(1), a, j, a, j, m, m)["params"]
+
+    pad_logits, pad_labels = collect_logits(
+        make_eval_step(predictor), params, ds, batch_size=24, pad_to=None
+    )
+    n_max = 48
+    coo_logits, coo_labels = collect_logits_coo(
+        make_eval_step_coo(packed_pred), params, ds, batch_size=24,
+        num_tiles=8, edge_capacity=2048,
+        args_fn=lambda b: compact_coattn_arrays(b, n_max),
+    )
+    np.testing.assert_array_equal(pad_labels, coo_labels)
+    np.testing.assert_allclose(pad_logits, coo_logits, rtol=1e-5, atol=1e-5)
+
+
+def test_molecule_slot_table():
+    from gcnbmp_tpu.data.packing import molecule_slot_table
+
+    # 3 molecules scattered over 2 tiles of 4 slots; tile-flat order:
+    # mol ids [0,0,1,3, 1,1,2,3]  (3 == num_mols == padding)
+    mol_id = np.array([[0, 0, 1, 3], [1, 1, 2, 3]], np.int32)
+    slots, mask = molecule_slot_table(mol_id, num_mols=3, n_max=4)
+    np.testing.assert_array_equal(slots[0], [0, 1, 0, 0])
+    np.testing.assert_array_equal(slots[1], [2, 4, 5, 0])
+    np.testing.assert_array_equal(slots[2], [6, 0, 0, 0])
+    np.testing.assert_array_equal(mask[0], [1, 1, 0, 0])
+    np.testing.assert_array_equal(mask[1], [1, 1, 1, 0])
+    np.testing.assert_array_equal(mask[2], [1, 0, 0, 0])
+
+
 def test_native_pack_speed(ds):
     """Native packer must beat the Python COO packer (sanity, not a bench)."""
     import time

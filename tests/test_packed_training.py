@@ -50,6 +50,21 @@ def test_packed_training_learns(tmp_path, path):
     assert log[-1]["train/roc_auc"] > 0.8
 
 
+def test_coo_coattention_training_learns(tmp_path):
+    """Co-attention rides the COO packed path end-to-end (train + eval)."""
+    cfg = TrainConfig(
+        method="ggnn", sim_method="hole", attn="nie", fp_hidden_dim=8,
+        fp_out_dim=8, conv_layers=2, batch_size=8, learning_rate=5e-3,
+        epochs=10, early_stop_patience=100,
+        out_dir=str(tmp_path / "coo_attn"), snapshot_interval=100, seed=0,
+        compute_path="coo", plot_reports=False,
+    )
+    result = Trainer(cfg, _toy(), val_ds=_toy(seed=1)).fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert log[-1]["train/roc_auc"] > 0.8
+
+
 def test_packed_incompatible_config_raises(tmp_path):
     cfg = TrainConfig(
         method="ggnn", attn="para", compute_path="packed",
