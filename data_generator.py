@@ -26,10 +26,17 @@ import pandas as pd
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--drug-list", required=True)
-    p.add_argument("--matrix", required=True)
+    p.add_argument("--drug-list")
+    p.add_argument("--matrix")
     p.add_argument("--split", default="inter",
-                   choices=["inter", "drug", "scaffold", "isc"])
+                   choices=["inter", "drug", "scaffold", "isc", "kaist"])
+    p.add_argument("--kaist-csv",
+                   help="multi-label pair CSV to split (for --split kaist; "
+                        "reference KaistSplitter, data_generator.py:637-837)")
+    p.add_argument("--edgelist",
+                   help="also write the known-DDI matrix upper triangle as "
+                        "an edgelist file at this path (reference "
+                        "generate_known_ddis, data_generator.py:838-870)")
     p.add_argument("--out", required=True)
     p.add_argument("--frac-train", type=float, default=0.8)
     p.add_argument("--frac-valid", type=float, default=0.1)
@@ -41,8 +48,29 @@ def main(argv=None):
 
     from gcnbmp_tpu.data import splits as S
 
+    os.makedirs(args.out, exist_ok=True)
+    if args.split == "kaist":
+        if not args.kaist_csv:
+            p.error("--split kaist requires --kaist-csv")
+        parts = S.kaist_multilabel_split(
+            pd.read_csv(args.kaist_csv),
+            frac_train=args.frac_train, frac_valid=args.frac_valid,
+            seed=args.seed,
+        )
+        stats = {}
+        for key, part in parts.items():
+            part.to_csv(os.path.join(args.out, f"ddi_{key}_multi.csv"),
+                        index=False)
+            stats[key] = {"total": len(part)}
+        print(json.dumps(stats, indent=2))
+        return 0
+
+    if not args.drug_list or not args.matrix:
+        p.error("--drug-list and --matrix are required (except --split kaist)")
     drug_df = pd.read_csv(args.drug_list)
     matrix_df = pd.read_csv(args.matrix)
+    if args.edgelist:
+        S.export_known_ddis_edgelist(matrix_df, args.edgelist)
     mat = matrix_df.select_dtypes(include=[np.number]).to_numpy()
     ids = list(drug_df["cid"])
     if args.validate:
@@ -51,7 +79,6 @@ def main(argv=None):
             print(f"ERROR: unparseable SMILES at rows {bad}", file=sys.stderr)
             return 1
     pairs, labels = S.generate_pairs_from_matrix(mat, ids)
-    os.makedirs(args.out, exist_ok=True)
     frac_test = 1.0 - args.frac_train - args.frac_valid
 
     stats = {}

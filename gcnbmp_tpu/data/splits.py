@@ -304,6 +304,32 @@ def write_pair_csv(
     return df
 
 
+def export_known_ddis_edgelist(
+    matrix_df: pd.DataFrame, path: str
+) -> List[Tuple[str, str]]:
+    """Write the known-DDI upper triangle of a drug-drug matrix as an
+    edgelist file, one ``cid_i cid_j`` line per interaction (reference:
+    generate_known_ddis, data_generator.py:838-870).  Returns the pairs."""
+    df = matrix_df
+    if "Unnamed: 0" in df.columns:
+        df = df.drop(columns=["Unnamed: 0"])
+    mat = df.to_numpy().astype(np.int32)
+    cids = [str(c) for c in df.columns]
+    n = mat.shape[0]
+    assert mat.shape == (n, len(cids)), (mat.shape, len(cids))
+    pairs = [
+        (cids[i], cids[j])
+        for i in range(n)
+        for j in range(i + 1, len(cids))
+        if mat[i, j] == 1
+    ]
+    if path:
+        with open(path, "w") as w:
+            for a, b in pairs:
+                w.write(f"{a} {b}\n")
+    return pairs
+
+
 def split_statistics(labels: np.ndarray) -> Dict[str, float]:
     """pos/neg counts + ratio (reference stat(), data_generator.py:200)."""
     pos = int(np.sum(labels == 1))

@@ -146,3 +146,53 @@ def test_write_pair_csv_schema(tmp_path):
 def test_validate_drug_list():
     df = pd.DataFrame({"smiles": ["CCO", "not_a_smiles", "c1ccccc1"]})
     assert validate_drug_list(df) == [1]
+
+
+def test_export_known_ddis_edgelist(tmp_path):
+    from gcnbmp_tpu.data.splits import export_known_ddis_edgelist
+
+    mat = _matrix()
+    ids = list(SMILES)
+    df = pd.DataFrame(mat, columns=ids)
+    path = str(tmp_path / "ddi.edgelist")
+    pairs = export_known_ddis_edgelist(df, path)
+    # one line per upper-triangle interaction, "cid_i cid_j"
+    lines = open(path).read().splitlines()
+    assert len(lines) == int(mat.sum() // 2) == len(pairs)
+    i, j = ids.index(lines[0].split()[0]), ids.index(lines[0].split()[1])
+    assert i < j and mat[i, j] == 1
+
+
+def test_data_generator_cli_kaist_and_edgelist(tmp_path):
+    import data_generator
+
+    # kaist mode: multi-label pair CSV in, 3 CSVs out
+    rows = [{"drugbank_id_1": f"A{i}", "drugbank_id_2": f"B{i}",
+             "smiles_1": "CCO", "smiles_2": "CC",
+             "label": ("t1||t2" if i % 2 else "t3")} for i in range(40)]
+    src = tmp_path / "pairs.csv"
+    pd.DataFrame(rows).to_csv(src, index=False)
+    out = tmp_path / "kaist"
+    assert data_generator.main(
+        ["--split", "kaist", "--kaist-csv", str(src), "--out", str(out)]
+    ) == 0
+    parts = [pd.read_csv(out / f"ddi_{k}_multi.csv")
+             for k in ("train", "valid", "test")]
+    assert sum(len(p) for p in parts) == 40
+
+    # edgelist flag alongside a normal split
+    ids = list(SMILES)
+    drug_csv = tmp_path / "drugs.csv"
+    pd.DataFrame({
+        "cid": ids, "drugbank_id": [f"DB{i}" for i in range(len(ids))],
+        "smiles": [SMILES[d] for d in ids],
+    }).to_csv(drug_csv, index=False)
+    mat_csv = tmp_path / "matrix.csv"
+    pd.DataFrame(_matrix(), columns=ids).to_csv(mat_csv, index=False)
+    edge = tmp_path / "known.edgelist"
+    out2 = tmp_path / "inter"
+    assert data_generator.main(
+        ["--drug-list", str(drug_csv), "--matrix", str(mat_csv),
+         "--split", "inter", "--out", str(out2), "--edgelist", str(edge)]
+    ) == 0
+    assert edge.exists() and len(open(edge).read().splitlines()) > 0
