@@ -295,6 +295,121 @@ def measure_coo(device, iters):
     return edges / dt, dt, edges
 
 
+SCAN_STEPS = 10
+
+
+def measure_packed_scan(device, iters):
+    """The scan-mode dense packed path (Trainer scan_steps>1): S train
+    steps per lax.scan dispatch with the batch resident in HBM.  Scanning
+    removes ~1.2 ms/step of dispatch/launch overhead vs the per-step
+    packed path (GGNN compute is shape-bound, so one staged batch
+    re-scanned measures the same step rate the Trainer's scan mode gets
+    streaming distinct stacked batches)."""
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models.packed import make_packed_predictor
+    from gcnbmp_tpu.train.loop import sigmoid_cross_entropy
+
+    ds = build_dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(BATCH)))
+    predictor = make_packed_predictor(
+        fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
+        weight_tying=False, sim_method="hole",
+    )
+    optimizer = optax.adam(1e-3)
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    args = (
+        put(packed.atom_ids), put(packed.adj), put(packed.mol_id),
+        put(packed.node_mask), put(packed.left_index), put(packed.right_index),
+    )
+    y = put(packed.labels)
+    variables = predictor.init(jax.random.PRNGKey(0), *args)
+    params = jax.device_put(variables["params"], device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+
+    def loss_fn(p):
+        logits = predictor.apply({"params": p}, *args)
+        return sigmoid_cross_entropy(jnp.reshape(logits, y.shape), y)
+
+    @jax.jit
+    def scan_step(p, s):
+        def body(carry, _):
+            p, s = carry
+            l, g = jax.value_and_grad(loss_fn)(p)
+            u, s = optimizer.update(g, s, p)
+            return (optax.apply_updates(p, u), s), l
+
+        (p, s), ls = jax.lax.scan(body, (p, s), jnp.arange(SCAN_STEPS))
+        return p, s, ls
+
+    for _ in range(WARMUP):
+        params, opt_state, ls = scan_step(params, opt_state)
+    float(ls[-1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, ls = scan_step(params, opt_state)
+    assert np.isfinite(float(ls[-1]))
+    dt = (time.perf_counter() - t0) / (iters * SCAN_STEPS)
+    edges = float(packed.num_edges)
+    return edges / dt, dt, edges
+
+
+def measure_coo_scan(device, iters):
+    """Scan mode over the COO path: SCAN_STEPS distinct batches stacked
+    in HBM, one lax.scan dispatch.  The in-scan adjacency scatter costs
+    back what the scan saves (~7.2 ms vs 7.0 per-step on the v5e), so
+    this is a diagnostic, not the headline path."""
+    from gcnbmp_tpu.data import native_pack
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+    from gcnbmp_tpu.models.packed import compact_coo_arrays, make_packed_predictor
+    from gcnbmp_tpu.train.loop import (
+        make_packed_scan_train_step,
+        sigmoid_cross_entropy,
+    )
+
+    ds = build_dataset()
+    rng = np.random.default_rng(1)
+    chunks = []
+    cache = (native_pack.PairDatasetCache(ds)
+             if native_pack.native_pack_available() else None)
+    for _ in range(SCAN_STEPS):
+        idx = rng.permutation(BATCH).tolist()
+        if cache is not None:
+            b = native_pack.pack_pairs_native(cache, idx)
+        else:
+            b = pack_pair_dataset_coo(ds, idx)
+        chunks.append(b)
+    argses = [compact_coo_arrays(b) for b in chunks]
+    stacked = tuple(
+        np.stack([a[i] for a in argses]) for i in range(len(argses[0]))
+    )
+    labels = np.stack([b.labels for b in chunks])
+    predictor = make_packed_predictor(
+        fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
+        weight_tying=False, sim_method="hole", coo=True, compact=True,
+    )
+    optimizer = optax.adam(1e-3)
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    stacked_d = tuple(put(a) for a in stacked)
+    labels_d = put(labels)
+    single = tuple(jnp.asarray(a[0]) for a in stacked)
+    variables = predictor.init(jax.random.PRNGKey(0), *single)
+    params = jax.device_put(variables["params"], device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+    scan_fn = make_packed_scan_train_step(
+        predictor, optimizer, 1, sigmoid_cross_entropy
+    )
+    for _ in range(WARMUP):
+        params, opt_state, losses = scan_fn(params, opt_state, stacked_d, labels_d)
+    float(losses[-1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, losses = scan_fn(params, opt_state, stacked_d, labels_d)
+    assert np.isfinite(float(losses[-1]))
+    dt = (time.perf_counter() - t0) / (iters * SCAN_STEPS)
+    edges = float(np.mean([b.num_edges for b in chunks]))
+    return edges / dt, dt, edges
+
+
 def cpu_baseline():
     global BATCH
     key = f"cpu256x{PAD_N}x{HIDDEN}x{LAYERS}"
@@ -334,6 +449,13 @@ def main():
         eps_coo, dt_coo, _ = measure_coo(device, ITERS)
         print(f"# coo: step {dt_coo*1e3:.2f} ms, {eps_coo/1e6:.1f}M edges/s",
               file=sys.stderr)
+        eps_cs, dt_cs, _ = measure_coo_scan(device, ITERS)
+        print(f"# coo scan x{SCAN_STEPS}: step {dt_cs*1e3:.2f} ms, "
+              f"{eps_cs/1e6:.1f}M edges/s", file=sys.stderr)
+    # scan mode (Trainer scan_steps>1): the fastest training configuration
+    eps_scan, dt_scan, _ = measure_packed_scan(device, ITERS)
+    print(f"# packed scan x{SCAN_STEPS}: step {dt_scan*1e3:.2f} ms, "
+          f"{eps_scan/1e6:.1f}M edges/s", file=sys.stderr)
     eps_fu = 0.0
     if os.environ.get("GCNBMP_BENCH_FUSED") == "1":
         # the fused kernel compiles ~10 min through the remote tunnel and
@@ -345,7 +467,7 @@ def main():
                   f"{eps_fu/1e6:.1f}M edges/s", file=sys.stderr)
         except Exception as e:  # pallas unsupported on this backend
             print(f"# fused pallas: skipped ({type(e).__name__})", file=sys.stderr)
-    eps = max(eps_pad, eps_pk, eps_fu)
+    eps = max(eps_pad, eps_pk, eps_fu, eps_scan)
     cpu_eps = cpu_baseline()
     vs = eps / (8.0 * cpu_eps) if cpu_eps else None
     print(json.dumps({

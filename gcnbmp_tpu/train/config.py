@@ -47,6 +47,9 @@ class TrainConfig:
     compute_path: str = "padded"              # padded | packed | coo | fused
     prefetch: int = 2                         # batches staged ahead (0 = off)
     prefetch_workers: int = 4                 # concurrent device transfers
+    scan_steps: int = 0                       # coo path: run this many train
+    # steps per XLA dispatch via lax.scan over stacked batches (0/1 = off);
+    # amortizes the per-dispatch round trip (~0.9 ms on the v5e relay)
                                               # (coo path; >1 hides per-batch
                                               # transfer latency)
 

@@ -256,6 +256,60 @@ def make_packed_coo_train_step(coo_predictor, optimizer, class_num: int = 1,
     return step_fn
 
 
+def make_packed_scan_train_step(predictor, optimizer,
+                                class_num: int = 1,
+                                loss: Callable = sigmoid_cross_entropy):
+    """S train steps in ONE XLA program: ``lax.scan`` over a stack of S
+    packed batches resident in HBM.  Works for both packed layouts —
+    ``predictor`` is applied positionally to each step's arg tuple (the
+    dense PackedPairPredictor 6-tuple or the wire-compact COO 5-tuple).
+    On the dense path this removes ~1.2 ms/step of dispatch/launch
+    overhead on the v5e (7.1 -> 5.9 ms measured); params/opt_state
+    buffers are donated so the update happens in place across the scan."""
+
+    def loss_fn(params, args, labels):
+        logits = predictor.apply({"params": params}, *args)
+        if class_num == 1:
+            logits = jnp.reshape(logits, labels.shape)
+        return loss(logits, labels)
+
+    def scan_fn(params, opt_state, stacked_args, stacked_labels):
+        def body(carry, xs):
+            p, s = carry
+            args, labels = xs
+            l, grads = jax.value_and_grad(loss_fn)(p, args, labels)
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), l
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (stacked_args, stacked_labels)
+        )
+        return params, opt_state, losses
+
+    return jax.jit(scan_fn, donate_argnums=(0, 1))
+
+
+def scan_chunk_iterator(batches, scan_steps: int, args_fn):
+    """Group a COO batch iterator into stacks of ``scan_steps`` batches
+    (numpy-stacked wire arrays ready for one scan_fn call).  The tail
+    chunk is dropped — like the per-epoch tail batch, those pairs return
+    next epoch under the reshuffle."""
+    chunk = []
+    for b in batches:
+        chunk.append(b)
+        if len(chunk) == scan_steps:
+            argses = [args_fn(c) for c in chunk]
+            stacked = tuple(
+                np.stack([a[i] for a in argses])
+                for i in range(len(argses[0]))
+            )
+            labels = np.stack([c.labels for c in chunk])
+            edges = int(sum(c.num_edges for c in chunk))
+            yield stacked, labels, edges
+            chunk = []
+
+
 def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
                               num_tiles: int, edge_capacity: int,
                               rng: np.random.Generator):
@@ -504,7 +558,15 @@ class Trainer:
                 net_hidden_dims=cfg.net_hidden_dims, compact=coo,
                 attn=cfg.attn if coo else None, adj_dtype=adj_dtype,
             )
-            if coo:
+            if cfg.scan_steps > 1 and cfg.compute_path == "fused":
+                raise ValueError("scan_steps requires compute_path "
+                                 "'packed' or 'coo'")
+            if cfg.scan_steps > 1:
+                train_step = make_packed_scan_train_step(
+                    packed_predictor, self.optimizer, cfg.class_num,
+                    self.loss_fn,
+                )
+            elif coo:
                 train_step = make_packed_coo_train_step(
                     packed_predictor, self.optimizer, cfg.class_num,
                     self.loss_fn,
@@ -618,11 +680,35 @@ class Trainer:
                     rng=self.np_rng, pad_to=self.pad_to, drop_remainder=True,
                     supernode_fn=self.supernode_fn,
                 )
+            scanning = packed and cfg.scan_steps > 1
+            if scanning:
+                if coo:
+                    scan_args_fn = coo_args_fn
+                else:
+                    adj_np_dtype = (
+                        np.float32 if cfg.compute_dtype == "float32"
+                        else jnp.bfloat16
+                    )
+                    scan_args_fn = lambda b: (
+                        b.atom_ids, np.asarray(b.adj, adj_np_dtype), b.mol_id,
+                        b.node_mask, b.left_index, b.right_index,
+                    )
+                batches = scan_chunk_iterator(
+                    batches, cfg.scan_steps, scan_args_fn
+                )
             if cfg.prefetch > 0:
                 from gcnbmp_tpu.data.prefetch import PrefetchIterator
 
                 transfer = None
-                if coo:
+                if scanning:
+                    def transfer(item):
+                        stacked, labels, edges = item
+                        return (
+                            jax.device_put(stacked),
+                            jax.device_put(labels),
+                            edges,
+                        )
+                elif coo:
                     # stage host->device transfers on the prefetch thread so
                     # they overlap with the device step (through the axon
                     # relay a serialized transfer costs ~100 ms/step — 15x
@@ -640,6 +726,17 @@ class Trainer:
                     workers=cfg.prefetch_workers if coo else 1,
                 )
             for batch in batches:
+                if scanning:
+                    stacked, labels, batch_edges = batch
+                    state.params, state.opt_state, losses = train_step(
+                        state.params, state.opt_state,
+                        tuple(jnp.asarray(a) for a in stacked),
+                        jnp.asarray(labels),
+                    )
+                    epoch_losses.append(losses)  # (S,) on device
+                    epoch_edges += batch_edges
+                    state.step += cfg.scan_steps
+                    continue
                 if coo:
                     if isinstance(batch, tuple):  # staged by the prefetcher
                         args, labels, batch_edges = batch
@@ -689,7 +786,8 @@ class Trainer:
                 state.step += 1
             if epoch_losses:
                 epoch_losses = np.asarray(
-                    jnp.stack(epoch_losses), np.float64
+                    jnp.concatenate([jnp.atleast_1d(l) for l in epoch_losses]),
+                    np.float64,
                 ).tolist()
                 if cfg.check_numerics and not np.all(np.isfinite(epoch_losses)):
                     bad = int(np.argmax(~np.isfinite(epoch_losses)))

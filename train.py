@@ -45,6 +45,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--compute-path", dest="compute_path", default=None,
                    choices=["padded", "packed", "coo", "fused"])
+    p.add_argument("--scan-steps", dest="scan_steps", type=int, default=None,
+                   help="coo path: train steps per XLA dispatch (lax.scan)")
     p.add_argument("--loss", default=None, choices=["sigmoid_ce", "hinge", "focal"])
     p.add_argument("--no-eval-train", dest="eval_train", action="store_false",
                    default=None)
