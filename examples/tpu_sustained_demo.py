@@ -7,8 +7,10 @@ through the axon relay: ~5.5M sustained edges/s (the step-only rate is
 15.3M; the gap is relay transfer latency).
 
     python examples/tpu_sustained_demo.py          # TPU (default platform)
+    python examples/tpu_sustained_demo.py --scan-steps 10   # scan mode
     JAX_PLATFORMS=cpu python examples/tpu_sustained_demo.py
 """
+import argparse
 import os
 import sys
 import time
@@ -62,13 +64,21 @@ def mkds(n, seed):
     return ds
 
 
+ap = argparse.ArgumentParser()
+ap.add_argument("--scan-steps", type=int, default=0,
+                help="train steps per XLA dispatch (stacked-batch lax.scan; "
+                     "also batches the relay transfers, amortizing their "
+                     "latency)")
+ap.add_argument("--epochs", type=int, default=4)
+demo_args = ap.parse_args()
+
 train, val = mkds(40960, 1), mkds(1024, 2)
 cfg = TrainConfig(
     method="ggnn", sim_method="hole", conv_layers=8, fp_hidden_dim=32,
     fp_out_dim=32, weight_tying=False, learning_rate=1e-3, batch_size=2048,
-    epochs=4, early_stop_patience=100, compute_path="coo",
+    epochs=demo_args.epochs, early_stop_patience=100, compute_path="coo",
     out_dir="results/coo_demo", snapshot_interval=100, seed=0,
-    plot_reports=False, eval_train=False,
+    plot_reports=False, eval_train=False, scan_steps=demo_args.scan_steps,
 )
 t0 = time.time()
 result = Trainer(cfg, train, val).fit()
