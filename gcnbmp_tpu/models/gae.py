@@ -115,6 +115,55 @@ def mask_test_edges(
     }
 
 
+def parse_edge_csv(filepath, id2ind: Optional[Dict] = None):
+    """Read a pair CSV into (pos_edges, neg_edges) index arrays
+    (reference parse_ddi_dataset, train_gcn_cos_multi.py:125-134: rows
+    with label==1 are positive edges, label==0 negatives; cid columns
+    are mapped through the drug-index map when given)."""
+    import pandas as pd
+
+    df = pd.read_csv(filepath)
+    cols = ("cid_1", "cid_2") if "cid_1" in df.columns else (
+        "drugbank_id_1", "drugbank_id_2")
+
+    def to_ind(rows):
+        if id2ind is not None:
+            return np.asarray(
+                [(id2ind[a], id2ind[b]) for a, b in rows], np.int32
+            ).reshape(-1, 2)
+        return np.asarray(list(rows), np.int32).reshape(-1, 2)
+
+    pos = df[df["label"] == 1]
+    neg = df[df["label"] == 0]
+    return (to_ind(zip(pos[cols[0]], pos[cols[1]])),
+            to_ind(zip(neg[cols[0]], neg[cols[1]])))
+
+
+def mask_test_edges_from_splits(
+    n: int,
+    train_pos: np.ndarray,
+    val_pos: np.ndarray, val_neg: np.ndarray,
+    test_pos: np.ndarray, test_neg: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """Externally-provided split variant of mask_test_edges (reference
+    mask_test_edges with train/valid/test_filepath set,
+    train_gcn_cos_multi.py:136-175): the train adjacency is rebuilt from
+    the given positive train edges and val/test pos+neg lists are used
+    as-is — this is how the KAIST multi-class splits drive the GAE."""
+    adj_train = np.zeros((n, n), np.float32)
+    tp = np.asarray(train_pos, np.int64).reshape(-1, 2)
+    adj_train[tp[:, 0], tp[:, 1]] = 1
+    adj_train[tp[:, 1], tp[:, 0]] = 1
+    return {
+        "adj_train": adj_train,
+        "train_pos": tp,
+        "val_pos": np.asarray(val_pos).reshape(-1, 2),
+        "val_neg": np.asarray(val_neg).reshape(-1, 2),
+        "test_pos": np.asarray(test_pos).reshape(-1, 2),
+        "test_neg": np.asarray(test_neg).reshape(-1, 2),
+    }
+
+
 def train_gae(
     adj: np.ndarray,
     features: Optional[np.ndarray] = None,
@@ -126,14 +175,18 @@ def train_gae(
     seed: int = 0,
     val_frac: float = 0.05,
     test_frac: float = 0.10,
+    splits: Optional[Dict[str, np.ndarray]] = None,
 ) -> Dict:
     """Full GAE training run; returns embeddings + edge-prediction metrics
     (reference main loop, train_gcn_cos.py:430-600; default hyperparams
-    :50-54)."""
+    :50-54).  ``splits`` (from mask_test_edges_from_splits) overrides the
+    random holdout with externally-provided train/val/test edges — the
+    train_gcn_cos_multi.py KAIST workflow."""
     from sklearn import metrics as skm
 
     n = adj.shape[0]
-    masked = mask_test_edges(np.asarray(adj), val_frac, test_frac, seed)
+    masked = (splits if splits is not None
+              else mask_test_edges(np.asarray(adj), val_frac, test_frac, seed))
     adj_train = masked["adj_train"]
     adj_norm = jnp.asarray(normalize_adj(adj_train))
     x = jnp.asarray(
