@@ -65,9 +65,9 @@ SUBSTITUENTS = [
     ("F", {"hal"}),
     ("Cl", {"hal"}),
     ("Br", {"hal"}),
-    ("C(=O)O", {"acid"}),
-    ("CC(=O)O", {"acid"}),
-    ("S(=O)(=O)N", {"acid", "hb"}),
+    ("C(=O)O", {"acid", "acid_c"}),
+    ("CC(=O)O", {"acid", "acid_c"}),
+    ("S(=O)(=O)N", {"acid", "acid_s", "hb"}),
     ("C(=O)N", {"hb"}),
     ("C(=O)OC", {"hb"}),
     ("C#N", set()),
@@ -82,7 +82,8 @@ def enumerate_drugs(n_drugs: int, seed: int):
     for scaf, (sa, ca), (sb, cb) in itertools.product(
         SCAFFOLDS, SUBSTITUENTS, SUBSTITUENTS
     ):
-        smi = scaf.format(a=sa, b=sb)
+        # empty substituent slots leave "()" behind — strip for valid SMILES
+        smi = scaf.format(a=sa, b=sb).replace("()", "")
         candidates.append((smi, ca | cb))
     # dedupe by SMILES string; shuffle for scaffold/substituent diversity
     seen, pool = set(), []
@@ -130,12 +131,78 @@ def interaction_label(d1, d2) -> int:
     return 0
 
 
+MULTI_LABEL_TYPES = [
+    "carboxyl_base", "sulfonamide_base", "stacking", "polar_stack",
+    "halogen_bond",
+]
+
+
+def interaction_types(d1, d2) -> list:
+    """Multi-label refinement of interaction_label: the (possibly several,
+    overlapping) mechanism types behind a positive pair.  The union of all
+    types fires exactly when interaction_label fires — the binary matrix
+    and the multi-label pair set stay consistent."""
+    c1, c2 = d1["classes"], d2["classes"]
+    types = []
+    for a, b in ((c1, c2), (c2, c1)):
+        if "acid_c" in a and "base" in b and "carboxyl_base" not in types:
+            types.append("carboxyl_base")
+        if "acid_s" in a and "base" in b and "sulfonamide_base" not in types:
+            types.append("sulfonamide_base")
+    if d1["n_aromatic"] + d2["n_aromatic"] >= 16 and \
+            d1["n_O"] + d2["n_O"] >= 2:
+        types.append("stacking")
+        if d1["n_N"] + d2["n_N"] >= 2:
+            types.append("polar_stack")  # overlapping subtype
+    if "hal" in c1 and "hal" in c2 and d1["n_N"] + d2["n_N"] >= 2:
+        types.append("halogen_bond")
+    return types
+
+
+def write_multilabel(out_dir, drugs, cids, dbids, rng, noise):
+    """KAIST-style multi-label pair CSV (one row per interacting pair,
+    ``||``-joined type names) + labels.csv class list (reference:
+    train_ggnn_hole_multi_class_x37.py get_class_num / parsers_multi.py)."""
+    import pandas as pd
+
+    rows = []
+    n = len(drugs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            types = interaction_types(drugs[i], drugs[j])
+            if not types:
+                continue
+            # per-type flip noise; drop the pair if no type survives
+            kept = [t for t in types if rng.random() >= noise]
+            for t in MULTI_LABEL_TYPES:
+                if t not in types and rng.random() < noise / 10:
+                    kept.append(t)
+            if not kept:
+                continue
+            rows.append({
+                "cid_1": cids[i], "cid_2": cids[j],
+                "drugbank_id_1": dbids[i], "drugbank_id_2": dbids[j],
+                "smiles_1": drugs[i]["smiles"], "smiles_2": drugs[j]["smiles"],
+                "label": "||".join(kept),
+            })
+    pd.DataFrame(rows).to_csv(
+        os.path.join(out_dir, "pairs_multilabel.csv"), index=False
+    )
+    pd.DataFrame({"label": MULTI_LABEL_TYPES}).to_csv(
+        os.path.join(out_dir, "labels.csv"), index=False
+    )
+    return len(rows)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", required=True)
     p.add_argument("--n-drugs", type=int, default=546)
     p.add_argument("--noise", type=float, default=0.03)
     p.add_argument("--seed", type=int, default=2018)
+    p.add_argument("--multi-label", action="store_true",
+                   help="also write pairs_multilabel.csv + labels.csv "
+                        "(KAIST x86-style interaction-type labels)")
     args = p.parse_args(argv)
 
     import pandas as pd
@@ -179,6 +246,10 @@ def main(argv=None):
             for c in ("acid", "base", "hal", "hb")
         },
     }
+    if args.multi_label:
+        stats["n_multilabel_pairs"] = write_multilabel(
+            args.out, drugs, cids, dbids, rng, args.noise
+        )
     with open(os.path.join(args.out, "rule_stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
     print(json.dumps(stats))
