@@ -1,0 +1,55 @@
+#!/bin/bash
+# Reference-scale quality battery: generates dataset/synth546, trains every
+# headline reference configuration (BASELINE.md) on it, and evaluates each
+# on the held-out stratified test set. See docs/QUALITY.md for results.
+# Runs on the default JAX platform (the TPU chip under the driver);
+# ~40 min end to end on one v5e through the axon relay.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+python examples/make_synth_drugbank.py --out dataset/synth546 --multi-label
+python data_generator.py --drug-list dataset/synth546/drug_list.csv \
+  --matrix dataset/synth546/drug_drug_matrix.csv \
+  --split inter --out dataset/synth546/inter --validate
+python - <<'EOF'
+import pandas as pd
+df = pd.read_csv("dataset/synth546/inter/ddi_inter_train.csv")
+pos, neg = df[df.label==1], df[df.label==0]
+sub = pd.concat([pos.sample(17500, random_state=1), neg.sample(17500, random_state=1)])
+sub.sample(frac=1.0, random_state=2).to_csv(
+    "dataset/synth546/inter/isc35000_train.csv", index=False)
+EOF
+
+run () {  # run OUTDIR [train.py extra args...]
+  local out=$1; shift
+  python train.py --train dataset/synth546/inter/isc35000_train.csv \
+    --val dataset/synth546/inter/ddi_inter_valid.csv \
+    --method ggnn --conv-layers 8 --fp-hidden-dim 32 --fp-out-dim 32 \
+    --weight-tying false --compute-path coo --batch-size 2048 --lr 2e-3 \
+    --epochs 80 --patience 10 --augment --no-eval-train --seed 0 \
+    --out "results/$out" "$@"
+  python eval.py --test dataset/synth546/inter/ddi_inter_test.csv \
+    --run "results/$out" --checkpoint best --out "results/$out/eval"
+}
+
+run ref_scale       --sim-method hole                 # flagship (DDI.md:6)
+run ref_scale_alter --sim-method hole --attn alter    # RECORD.txt:201
+run ref_scale_para  --sim-method ntn  --attn para     # RECORD.txt:209
+run ref_scale_nie   --sim-method ntn  --attn nie      # RECORD.txt:250
+run ref_scale_vqa   --sim-method ntn  --attn vqa      # RECORD.txt:264
+
+# similarity + saliency exports off the flagship run
+python eval.py --test dataset/synth546/inter/ddi_inter_test.csv \
+  --run results/ref_scale --checkpoint best --out results/ref_scale/eval \
+  --similarity cosine --saliency gradient
+
+# multi-label (x86-style): kaist split + multi-hot training
+python data_generator.py --split kaist \
+  --kaist-csv dataset/synth546/pairs_multilabel.csv --out dataset/synth546/kaist
+python train.py --train dataset/synth546/kaist/ddi_train_multi.csv \
+  --val dataset/synth546/kaist/ddi_valid_multi.csv \
+  --labels-csv dataset/synth546/labels.csv \
+  --method ggnn --sim-method hole --conv-layers 8 --fp-hidden-dim 32 \
+  --fp-out-dim 32 --weight-tying false --compute-path coo --batch-size 2048 \
+  --lr 2e-3 --epochs 80 --patience 10 --no-eval-train --seed 0 \
+  --out results/ref_scale_multi
