@@ -35,6 +35,9 @@ def parse_args(argv=None):
                    choices=["gradient", "integrated", "bayes"],
                    help="also render saliency SVGs for the first pairs")
     p.add_argument("--saliency-count", type=int, default=4)
+    p.add_argument("--labels-csv", dest="labels_csv", default=None,
+                   help="class-list CSV for multi-label runs (same file "
+                        "given to train.py; enables ||-label parsing)")
     p.add_argument("--platform", default=None)
     return p.parse_args(argv)
 
@@ -59,7 +62,23 @@ def main(argv=None):
     with open(os.path.join(args.run, "config.json")) as f:
         cfg = TrainConfig.from_json(f.read())
 
-    parser = CSVPairParser()
+    classes = None
+    if args.labels_csv:
+        from gcnbmp_tpu.data.parsers import get_class_labels
+
+        classes = get_class_labels(args.labels_csv)
+        if cfg.class_num > 1 and len(classes) != cfg.class_num:
+            raise SystemExit(
+                f"--labels-csv has {len(classes)} classes but the run was "
+                f"trained with class_num={cfg.class_num}"
+            )
+    elif cfg.class_num > 1:
+        raise SystemExit(
+            "this run is multi-label (class_num>1); pass the same "
+            "--labels-csv used for training so test labels binarize "
+            "identically"
+        )
+    parser = CSVPairParser(multi_label_classes=classes)
     res = parser.parse(args.test)
     ds = res.dataset
     logging.info("test: %d pairs (%d failed)", len(ds), res.fail_count)

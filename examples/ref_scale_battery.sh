@@ -53,3 +53,6 @@ python train.py --train dataset/synth546/kaist/ddi_train_multi.csv \
   --fp-out-dim 32 --weight-tying false --compute-path coo --batch-size 2048 \
   --lr 2e-3 --epochs 80 --patience 10 --no-eval-train --seed 0 \
   --out results/ref_scale_multi
+python eval.py --test dataset/synth546/kaist/ddi_test_multi.csv \
+  --run results/ref_scale_multi --checkpoint best \
+  --labels-csv dataset/synth546/labels.csv --out results/ref_scale_multi/eval

@@ -84,6 +84,56 @@ def test_multilabel_parse_and_train(tmp_path):
     assert log[-1]["train/roc_auc"] > 0.8  # easily learnable labels
 
 
+def test_multilabel_eval_cli_roundtrip(tmp_path):
+    """Train a tiny multi-label run, then drive eval.py with --labels-csv
+    (the offline multilabel evaluation workflow; without the flag the
+    CLI must refuse rather than misparse ||-labels)."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import eval as eval_cli
+
+    classes = ["has_oxygen", "has_ring", "neither"]
+    train_csv = tmp_path / "train.csv"
+    test_csv = tmp_path / "test.csv"
+    _multilabel_df(40, seed=0).to_csv(train_csv, index=False)
+    _multilabel_df(20, seed=1).to_csv(test_csv, index=False)
+    labels_csv = tmp_path / "labels.csv"
+    pd.DataFrame({"label": classes}).to_csv(labels_csv, index=False)
+
+    parser = CSVPairParser(multi_label_classes=classes)
+    ds = parser.parse(pd.read_csv(train_csv)).dataset
+    out = tmp_path / "run"
+    cfg = TrainConfig(
+        method="ggnn", sim_method="hole", class_num=3, fp_hidden_dim=8,
+        fp_out_dim=8, conv_layers=2, batch_size=8, epochs=2,
+        early_stop_patience=100, out_dir=str(out), snapshot_interval=100,
+        seed=0,
+    )
+    Trainer(cfg, ds, None).fit()
+    with open(out / "config.json", "w") as f:  # train.py CLI writes this
+        f.write(cfg.to_json())
+
+    rc = eval_cli.main([
+        "--test", str(test_csv), "--run", str(out), "--checkpoint", "final",
+        "--labels-csv", str(labels_csv), "--out", str(tmp_path / "ev"),
+    ])
+    assert rc == 0
+    import json
+
+    metrics = json.load(open(tmp_path / "ev" / "eval_result.json"))
+    assert 0.0 <= metrics["roc_auc"] <= 1.0
+
+    with pytest.raises(SystemExit):  # refuses without --labels-csv
+        eval_cli.main([
+            "--test", str(test_csv), "--run", str(out),
+            "--checkpoint", "final", "--out", str(tmp_path / "ev2"),
+        ])
+
+
 def test_hinge_training_runs(tmp_path):
     f = GGNNFeaturizer()
     ds = PairDataset()
