@@ -61,11 +61,19 @@ def parse_args(argv=None):
     p.add_argument("--label-cols", dest="label_cols", default="label")
     p.add_argument("--smiles-cols", dest="smiles_cols", default="smiles_1,smiles_2")
     p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax NaN checking (fail fast at the op that "
+                        "produced a NaN — the numeric-sanitizer mode; "
+                        "disables async dispatch, debug only)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
