@@ -199,6 +199,45 @@ class PackedCOOBatch:
     def occupancy(self) -> float:
         return float(self.node_mask.mean())
 
+    def validate(self, tile: int = TILE) -> "PackedCOOBatch":
+        """Bounds/consistency check of the COO wire format (debug mode).
+
+        The on-device scatter (ops/aggregate.adj_from_coo) uses
+        mode='drop': an out-of-bounds edge index — e.g. from a corrupted
+        wire batch or a packer bug — would vanish SILENTLY instead of
+        crashing.  This host-side validator (and its in-jit twin
+        ops/aggregate.coo_bounds_check) turns that silent data loss into
+        a hard error; enabled per-batch by TrainConfig.debug_checks."""
+        p = self.num_tiles
+        real = self.e_mask > 0
+        problems = []
+        for name, arr, hi in (
+            ("e_tile", self.e_tile, p), ("e_type", self.e_type,
+                                         NUM_EDGE_TYPES),
+            ("e_src", self.e_src, tile), ("e_dst", self.e_dst, tile),
+        ):
+            bad = (arr[real] < 0) | (arr[real] >= hi)
+            if bad.any():
+                problems.append(f"{name}: {int(bad.sum())} edges out of "
+                                f"[0, {hi})")
+        if not np.isin(self.e_mask, (0.0, 1.0)).all():
+            problems.append("e_mask not 0/1")
+        if ((self.mol_id >= self.num_mols) != (self.node_mask == 0)).any():
+            problems.append("node_mask inconsistent with mol_id padding")
+        idx = np.concatenate([self.left_index, self.right_index])
+        if ((idx < 0) | (idx >= self.num_mols)).any():
+            problems.append("left/right_index out of range")
+        if not problems:
+            # real edges must land on real (unpadded) node slots — only
+            # checkable once indices are known in-bounds
+            src_ok = self.node_mask[self.e_tile[real], self.e_src[real]] > 0
+            dst_ok = self.node_mask[self.e_tile[real], self.e_dst[real]] > 0
+            if not (src_ok.all() and dst_ok.all()):
+                problems.append("edges touch padded node slots")
+        if problems:
+            raise ValueError("invalid PackedCOOBatch: " + "; ".join(problems))
+        return self
+
     def to_dense(self, tile: int = TILE) -> PackedGraphBatch:
         """Materialize the dense adjacency host-side (tests/debug)."""
         p = self.num_tiles

@@ -76,3 +76,36 @@ def adj_from_coo(
     return adj.at[e_tile, e_type, e_src, e_dst].add(
         e_mask.astype(dtype), mode="drop"
     )
+
+
+def coo_bounds_check(
+    e_tile: jnp.ndarray,
+    e_type: jnp.ndarray,
+    e_src: jnp.ndarray,
+    e_dst: jnp.ndarray,
+    e_mask: jnp.ndarray,
+    num_tiles: int,
+    tile: int,
+    num_edge_types: int = 4,
+):
+    """In-jit checkify twin of PackedCOOBatch.validate: asserts every real
+    edge's indices are in bounds BEFORE adj_from_coo's mode='drop' scatter
+    can silently discard them.  Usage:
+
+        err, _ = checkify.checkify(lambda: coo_bounds_check(...))()
+        err.throw()
+
+    Composable under jit/scan via jax.experimental.checkify (the
+    framework's device-side sanitizer; SURVEY §5.2 — the reference has
+    no native code and nothing to sanitize)."""
+    from jax.experimental import checkify
+
+    real = e_mask > 0
+
+    def in_bounds(x, hi):
+        return jnp.where(real, (x >= 0) & (x < hi), True).all()
+
+    checkify.check(in_bounds(e_tile, num_tiles), "e_tile out of bounds")
+    checkify.check(in_bounds(e_type, num_edge_types), "e_type out of bounds")
+    checkify.check(in_bounds(e_src, tile), "e_src out of bounds")
+    checkify.check(in_bounds(e_dst, tile), "e_dst out of bounds")

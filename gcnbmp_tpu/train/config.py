@@ -84,6 +84,9 @@ class TrainConfig:
                                               # (reference behavior; turn off
                                               # to halve per-epoch eval cost)
     profile_epoch: Optional[int] = None       # jax.profiler trace this epoch
+    debug_checks: bool = False                # validate every COO batch
+    #   (PackedCOOBatch.validate: turns silently-dropped OOB edges into
+    #    hard errors; debug only — adds host-side work per batch)
     check_numerics: bool = False              # fail fast on nan/inf loss (checked once per epoch)
 
     def lr_shift_epochs(self) -> Tuple[int, ...]:

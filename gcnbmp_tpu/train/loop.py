@@ -670,6 +670,8 @@ class Trainer:
                     self.train_ds, cfg.batch_size, self.num_tiles,
                     self.edge_capacity, self.np_rng,
                 )
+                if cfg.debug_checks:
+                    batches = (b.validate() for b in batches)
             elif packed:
                 batches = packed_batch_iterator(
                     self.train_ds, cfg.batch_size, self.num_tiles, self.np_rng

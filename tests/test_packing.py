@@ -137,3 +137,62 @@ def test_packed_grads_finite():
     assert all(
         np.all(np.isfinite(np.asarray(g))) for g in jax.tree_util.tree_leaves(grads)
     )
+
+
+def test_coo_validate_catches_corruption():
+    """PackedCOOBatch.validate + the in-jit checkify twin both catch
+    out-of-bounds edges that adj_from_coo's mode='drop' scatter would
+    silently discard."""
+    import dataclasses
+
+    import pytest
+    from jax.experimental import checkify
+
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+    from gcnbmp_tpu.ops.aggregate import coo_bounds_check
+
+    ds = _dataset(6)
+    coo = pack_pair_dataset_coo(ds, list(range(6)))
+    coo.validate()  # clean batch passes
+
+    # corrupt one real edge's destination beyond the tile
+    bad_dst = coo.e_dst.copy()
+    idx = int(np.flatnonzero(coo.e_mask > 0)[0])
+    bad_dst[idx] = TILE + 3
+    bad = dataclasses.replace(coo, e_dst=bad_dst)
+    with pytest.raises(ValueError, match="e_dst"):
+        bad.validate()
+
+    def run(e_dst):
+        coo_bounds_check(
+            jnp.asarray(coo.e_tile), jnp.asarray(coo.e_type),
+            jnp.asarray(coo.e_src), jnp.asarray(e_dst),
+            jnp.asarray(coo.e_mask),
+            num_tiles=coo.num_tiles, tile=TILE,
+        )
+
+    err, _ = checkify.checkify(run)(coo.e_dst)
+    err.throw()  # clean: no error
+    err, _ = checkify.checkify(run)(bad_dst)
+    with pytest.raises(Exception, match="e_dst out of bounds"):
+        err.throw()
+
+    # masked (padding) edges may point anywhere: mask the bad edge out
+    masked = coo.e_mask.copy()
+    masked[idx] = 0.0
+    ok = dataclasses.replace(bad, e_mask=masked)
+    ok.validate()
+
+
+def test_trainer_debug_checks_smoke(tmp_path):
+    from gcnbmp_tpu.train import TrainConfig, Trainer
+
+    ds = _dataset(16)
+    cfg = TrainConfig(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, batch_size=8,
+        epochs=2, compute_path="coo", debug_checks=True,
+        out_dir=str(tmp_path / "o"), snapshot_interval=100,
+        early_stop_patience=100, seed=0,
+    )
+    result = Trainer(cfg, ds, None).fit()
+    assert np.isfinite(result["log"][-1]["main/loss"])

@@ -61,6 +61,10 @@ def parse_args(argv=None):
     p.add_argument("--label-cols", dest="label_cols", default="label")
     p.add_argument("--smiles-cols", dest="smiles_cols", default="smiles_1,smiles_2")
     p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
+    p.add_argument("--debug-checks", action="store_true",
+                   help="validate every COO batch before transfer (turns "
+                        "silently-dropped out-of-bounds edges into hard "
+                        "errors; debug only)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN checking (fail fast at the op that "
                         "produced a NaN — the numeric-sanitizer mode; "
