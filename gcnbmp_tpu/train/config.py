@@ -84,6 +84,10 @@ class TrainConfig:
                                               # (reference behavior; turn off
                                               # to halve per-epoch eval cost)
     profile_epoch: Optional[int] = None       # jax.profiler trace this epoch
+    multi_device: bool = False                # graph-sharded training over
+    #   all visible devices (parallel/edgeshard.py; the reference's
+    #   --multi-gpu ParallelUpdater analog). compute_path='packed',
+    #   binary sigmoid-CE only.
     debug_checks: bool = False                # validate every COO batch
     #   (PackedCOOBatch.validate: turns silently-dropped OOB edges into
     #    hard errors; debug only — adds host-side work per batch)
