@@ -37,6 +37,28 @@ run ref_scale_alter --sim-method hole --attn alter    # RECORD.txt:201
 run ref_scale_para  --sim-method ntn  --attn para     # RECORD.txt:209
 run ref_scale_nie   --sim-method ntn  --attn nie      # RECORD.txt:250
 run ref_scale_vqa   --sim-method ntn  --attn vqa      # RECORD.txt:264
+run ref_scale_circ  --sim-method ntn  --attn circ
+run ref_scale_bimpm --sim-method ntn  --attn bimpm
+
+# harder generalization splits (the reference's similarity-split study)
+python data_generator.py --drug-list dataset/synth546/drug_list.csv \
+  --matrix dataset/synth546/drug_drug_matrix.csv --split drug \
+  --out dataset/synth546/drug
+python data_generator.py --drug-list dataset/synth546/drug_list.csv \
+  --matrix dataset/synth546/drug_drug_matrix.csv --split scaffold \
+  --out dataset/synth546/scaffold
+run2 () {  # run2 OUTDIR SPLITDIR PREFIX
+  local out=$1 dir=$2 pre=$3
+  python train.py --train "$dir/ddi_${pre}_train.csv" --val "$dir/ddi_${pre}_valid.csv" \
+    --method ggnn --conv-layers 8 --fp-hidden-dim 32 --fp-out-dim 32 \
+    --weight-tying false --compute-path coo --batch-size 2048 --lr 2e-3 \
+    --epochs 80 --patience 10 --augment --no-eval-train --seed 0 \
+    --sim-method hole --out "results/$out"
+  python eval.py --test "$dir/ddi_${pre}_test.csv" \
+    --run "results/$out" --checkpoint best --out "results/$out/eval"
+}
+run2 ref_scale_drugsplit dataset/synth546/drug drug
+run2 ref_scale_scafsplit dataset/synth546/scaffold scaffold
 
 # similarity + saliency exports off the flagship run
 python eval.py --test dataset/synth546/inter/ddi_inter_test.csv \
