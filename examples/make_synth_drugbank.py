@@ -136,6 +136,225 @@ MULTI_LABEL_TYPES = [
     "halogen_bond",
 ]
 
+# ---------------------------------------------------------------------------
+# KAIST-scale mode (--kaist): 1704 drugs x 37 interaction types, the scale
+# of the reference's multi-class path (setting.py:33 NUM_DRUGS_KAIST=1704;
+# train_ggnn_hole_multi_class_x37.py).  Everything below is used only in
+# kaist mode so the default 546-drug outputs stay byte-identical.
+# ---------------------------------------------------------------------------
+
+# Extra two-slot scaffolds, each tagged with the pharmacophore classes the
+# ring system itself confers (aromatic-N acceptors, NH donors, ...).
+KAIST_EXTRA_SCAFFOLDS = [
+    ("{a}c1ccc2nc({b})ccc2c1", {"pyr", "naph"}),     # quinoline
+    ("{a}c1ncc({b})cn1", {"pyr"}),                   # pyrimidine
+    ("{a}c1ccc({b})o1", {"fur"}),                    # furan
+    ("{a}C1CCN({b})CC1", {"aliph", "pip"}),          # piperidine
+    ("{a}c1ccc2cc({b})ccc2c1", {"naph"}),            # 2,6-naphthalene
+]
+
+# Classes conferred by the 12 base scaffolds (same order as SCAFFOLDS).
+BASE_SCAFFOLD_CLASSES = [
+    set(), set(), {"pyr"}, {"naph"}, {"biph"}, {"ind"},
+    {"thz"}, {"isox"}, {"aliph"}, set(), {"pheno"}, {"anil"},
+]
+
+# Finer substituent tagging (kaist mode only): SMILES fragment -> classes
+# layered on top of the coarse tags in SUBSTITUENTS.
+KAIST_SUB_CLASSES = {
+    "N": {"base_p"}, "NC": {"base_p"}, "CCN": {"base_p"},
+    "N(C)C": {"base_t"},
+    "F": {"hal_f"}, "Cl": {"hal_cl"}, "Br": {"hal_br"},
+    "C(=O)OC": {"ester"}, "C(=O)N": {"amide"}, "C#N": {"nitrile"},
+    "O": {"hydroxyl"}, "CO": {"hydroxyl"}, "OC": {"ether"},
+}
+
+
+def _sym(rule):
+    """Lift an ordered class-pair rule to an unordered pair rule."""
+    return lambda d1, d2: rule(d1, d2) or rule(d2, d1)
+
+
+def _pair(ca, cb):
+    return _sym(lambda d1, d2: ca in d1["classes"] and cb in d2["classes"])
+
+
+def _pair_any(ca, cbs):
+    return _sym(
+        lambda d1, d2: ca in d1["classes"] and bool(cbs & d2["classes"])
+    )
+
+
+def _kaist_type_rules():
+    """The 37 interaction-type rules: (name, predicate(d1, d2)).
+
+    Each rule reads only graph-visible structure (functional groups /
+    ring systems / atom counts), so a graph encoder can in principle
+    reach the noise ceiling — same design as the 5-type rule set above,
+    widened to the reference's x37 label-space size.
+    """
+    rules = []
+    # acid-base salt bridges (4)
+    for acid, aname in (("acid_c", "carboxyl"), ("acid_s", "sulfonamide")):
+        for base, bname in (("base_p", "primary_amine"),
+                            ("base_t", "tert_amine")):
+            rules.append((f"{aname}_{bname}", _pair(acid, base)))
+    # halogen bonds onto aromatic-N acceptors (9)
+    for hal, hname in (("hal_f", "f"), ("hal_cl", "cl"), ("hal_br", "br")):
+        for acc, accname in (("pyr", "pyridine"), ("thz", "thiazole"),
+                             ("isox", "isoxazole")):
+            rules.append((f"{hname}_{accname}", _pair(hal, acc)))
+    # halogen onto carbonyl acceptors (3)
+    for hal, hname in (("hal_f", "f"), ("hal_cl", "cl"), ("hal_br", "br")):
+        rules.append(
+            (f"{hname}_carbonyl", _pair_any(hal, {"ester", "amide"}))
+        )
+    # hydrogen-bond donor/acceptor pairs (6)
+    for don, dname in (("hydroxyl", "hydroxyl"), ("ind", "indole")):
+        for acc, accname in (("pyr", "pyridine"), ("amide", "amide"),
+                             ("ester", "ester")):
+            rules.append((f"{dname}_{accname}", _pair(don, acc)))
+    # amine-acceptor pairs (4)
+    rules.append(("amine_nitrile",
+                  _sym(lambda d1, d2: bool({"base_p", "base_t"}
+                                           & d1["classes"])
+                       and "nitrile" in d2["classes"])))
+    rules.append(("amine_ester", _pair("base_p", "ester")))
+    rules.append(("amine_pyridine", _pair("base_p", "pyr")))
+    rules.append(("tert_amine_pyridine", _pair("base_t", "pyr")))
+    # aromatic stacking (5)
+    rules.append(("stack_heavy",
+                  lambda d1, d2: d1["n_aromatic"] + d2["n_aromatic"] >= 16
+                  and d1["n_O"] + d2["n_O"] >= 2))
+    rules.append(("stack_amine",
+                  lambda d1, d2: d1["n_aromatic"] + d2["n_aromatic"] >= 16
+                  and d1["n_N"] + d2["n_N"] >= 2))
+    rules.append(("naph_naph", _pair("naph", "naph")))
+    rules.append(("naph_biph", _pair("naph", "biph")))
+    rules.append(("biph_biph", _pair("biph", "biph")))
+    # hydrophobic / miscellaneous (6)
+    rules.append(("aliph_aliph", _pair("aliph", "aliph")))
+    rules.append(("ether_acid", _pair_any("ether", {"acid_c", "acid_s"})))
+    rules.append(("furan_halogen",
+                  _pair_any("fur", {"hal_f", "hal_cl", "hal_br"})))
+    rules.append(("nitrile_halogen",
+                  _pair_any("nitrile", {"hal_cl", "hal_br"})))
+    rules.append(("aniline_acid", _pair("anil", "acid_c")))
+    rules.append(("phenolether_base",
+                  _pair_any("pheno", {"base_p", "base_t"})))
+    assert len(rules) == 37, len(rules)
+    assert len({n for n, _ in rules}) == 37
+    return rules
+
+
+def enumerate_drugs_kaist(n_drugs: int, seed: int):
+    """Kaist-mode enumeration: wider scaffold pool, finer class tags."""
+    rng = np.random.default_rng(seed)
+    scaffolds = (
+        [(s, BASE_SCAFFOLD_CLASSES[i]) for i, s in enumerate(SCAFFOLDS)]
+        + KAIST_EXTRA_SCAFFOLDS
+    )
+    candidates = []
+    for (scaf, scls), (sa, ca), (sb, cb) in itertools.product(
+        scaffolds, SUBSTITUENTS, SUBSTITUENTS
+    ):
+        smi = scaf.format(a=sa, b=sb).replace("()", "")
+        classes = (
+            set(scls) | ca | cb
+            | KAIST_SUB_CLASSES.get(sa, set())
+            | KAIST_SUB_CLASSES.get(sb, set())
+        )
+        candidates.append((smi, classes))
+    seen, pool = set(), []
+    for smi, classes in candidates:
+        if smi not in seen:
+            seen.add(smi)
+            pool.append((smi, classes))
+    order = rng.permutation(len(pool))
+    drugs = []
+    for i in order:
+        smi, classes = pool[i]
+        try:
+            mol = mol_from_smiles(smi)
+        except Exception:
+            continue
+        if not 5 <= mol.num_atoms <= 60:
+            continue
+        drugs.append({
+            "smiles": smi,
+            "classes": classes,
+            "n_aromatic": sum(a.aromatic for a in mol.atoms),
+            "n_O": sum(a.symbol == "O" for a in mol.atoms),
+            "n_N": sum(a.symbol == "N" for a in mol.atoms),
+        })
+        if len(drugs) == n_drugs:
+            break
+    if len(drugs) < n_drugs:
+        raise SystemExit(
+            f"only {len(drugs)} valid molecules enumerated; add fragments"
+        )
+    return drugs
+
+
+def write_kaist(out_dir, n_drugs, seed, noise, max_pairs):
+    """KAIST-scale outputs: drug_list.csv + pairs_multilabel.csv (37-type
+    ``||``-joined labels, interacting pairs only, reference schema) +
+    labels.csv, with per-type flip noise as in write_multilabel."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    drugs = enumerate_drugs_kaist(n_drugs, seed)
+    os.makedirs(out_dir, exist_ok=True)
+    cids = [f"CID{i + 1:04d}" for i in range(len(drugs))]
+    dbids = [f"DB{i + 1:05d}" for i in range(len(drugs))]
+    pd.DataFrame({
+        "cid": cids, "drugbank_id": dbids,
+        "smiles": [d["smiles"] for d in drugs],
+    }).to_csv(os.path.join(out_dir, "drug_list.csv"), index=False)
+
+    rules = _kaist_type_rules()
+    names = [n for n, _ in rules]
+    n = len(drugs)
+    rows = []
+    type_counts = {t: 0 for t in names}
+    for i in range(n):
+        for j in range(i + 1, n):
+            types = [t for t, fn in rules if fn(drugs[i], drugs[j])]
+            if not types:
+                continue
+            kept = [t for t in types if rng.random() >= noise]
+            for t in names:
+                if t not in types and rng.random() < noise / 10:
+                    kept.append(t)
+            if not kept:
+                continue
+            rows.append({
+                "cid_1": cids[i], "cid_2": cids[j],
+                "drugbank_id_1": dbids[i], "drugbank_id_2": dbids[j],
+                "smiles_1": drugs[i]["smiles"],
+                "smiles_2": drugs[j]["smiles"],
+                "label": "||".join(kept),
+            })
+    if max_pairs and len(rows) > max_pairs:
+        keep = rng.choice(len(rows), size=max_pairs, replace=False)
+        rows = [rows[k] for k in sorted(keep)]
+    for r in rows:
+        for t in r["label"].split("||"):
+            type_counts[t] += 1
+    pd.DataFrame(rows).to_csv(
+        os.path.join(out_dir, "pairs_multilabel.csv"), index=False
+    )
+    pd.DataFrame({"label": names}).to_csv(
+        os.path.join(out_dir, "labels.csv"), index=False
+    )
+    stats = {
+        "n_drugs": n, "n_types": len(names), "n_pairs": len(rows),
+        "noise": noise, "type_counts": type_counts,
+    }
+    with open(os.path.join(out_dir, "rule_stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps(stats))
+
 
 def interaction_types(d1, d2) -> list:
     """Multi-label refinement of interaction_label: the (possibly several,
@@ -203,7 +422,21 @@ def main(argv=None):
     p.add_argument("--multi-label", action="store_true",
                    help="also write pairs_multilabel.csv + labels.csv "
                         "(KAIST x86-style interaction-type labels)")
+    p.add_argument("--kaist", action="store_true",
+                   help="KAIST-scale mode: --n-drugs drugs (default 1704) "
+                        "x 37 interaction types, multi-label outputs only "
+                        "(reference: setting.py NUM_DRUGS_KAIST, "
+                        "train_ggnn_hole_multi_class_x37.py)")
+    p.add_argument("--max-pairs", type=int, default=200_000,
+                   help="kaist mode: cap on emitted interacting pairs "
+                        "(reference KAIST set is ~192k pairs)")
     args = p.parse_args(argv)
+
+    if args.kaist:
+        n_drugs = args.n_drugs if args.n_drugs != 546 else 1704
+        write_kaist(args.out, n_drugs, args.seed, args.noise,
+                    args.max_pairs)
+        return
 
     import pandas as pd
 

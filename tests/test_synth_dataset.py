@@ -48,3 +48,48 @@ def test_interaction_rule_is_structural():
     )
     assert gen.interaction_label(acid, base) == 1
     assert gen.interaction_label(plain, plain) == 0
+
+
+def test_kaist_mode_outputs(tmp_path):
+    """37-type KAIST-scale mode (reference train_ggnn_hole_multi_class_x37
+    label space; setting.py:33 NUM_DRUGS_KAIST)."""
+    gen.main(["--out", str(tmp_path), "--kaist", "--n-drugs", "150",
+              "--max-pairs", "2000", "--seed", "5"])
+    labels = pd.read_csv(tmp_path / "labels.csv")["label"].tolist()
+    assert len(labels) == 37 and len(set(labels)) == 37
+    pairs = pd.read_csv(tmp_path / "pairs_multilabel.csv")
+    assert list(pairs.columns) == [
+        "cid_1", "cid_2", "drugbank_id_1", "drugbank_id_2",
+        "smiles_1", "smiles_2", "label",
+    ]
+    assert len(pairs) == 2000
+    used = set()
+    for lab in pairs["label"]:
+        ts = lab.split("||")
+        assert ts and all(t in labels for t in ts)
+        used.update(ts)
+    # broad type coverage even at toy scale
+    assert len(used) >= 30
+    stats = json.load(open(tmp_path / "rule_stats.json"))
+    assert stats["n_types"] == 37
+    # every drug parses through the featurizer
+    dl = pd.read_csv(tmp_path / "drug_list.csv")
+    assert len(dl) == 150
+    f = GGNNFeaturizer()
+    for s in dl["smiles"][:10]:
+        assert f(mol_from_smiles(s)).atom_ids.shape[0] >= 5
+
+
+def test_kaist_rules_structural():
+    drugs = gen.enumerate_drugs_kaist(150, seed=2)
+    rules = dict(gen._kaist_type_rules())
+    acid = next(d for d in drugs if "acid_c" in d["classes"])
+    base = next(d for d in drugs if "base_p" in d["classes"])
+    assert rules["carboxyl_primary_amine"](acid, base)
+    assert rules["carboxyl_primary_amine"](base, acid)  # symmetric
+    plain = next(
+        d for d in drugs
+        if not d["classes"] and d["n_aromatic"] < 7 and d["n_N"] == 0
+        and d["n_O"] == 0
+    )
+    assert not any(fn(plain, plain) for fn in rules.values())
