@@ -40,6 +40,16 @@ def parse_args(argv=None):
     p.add_argument("--symmetric", default=None, choices=["or", "and"])
     p.add_argument("--batch-size", dest="batch_size", type=int, default=None)
     p.add_argument("--lr", dest="learning_rate", type=float, default=None)
+    p.add_argument("--exp-shift-strategy", dest="lr_shift_strategy",
+                   type=int, default=None, choices=[1, 2, 3],
+                   help="manual LR-decay epoch schedule (reference "
+                        "train_ddi_modify_eval2.py:675-687)")
+    p.add_argument("--exp-shift-rate", dest="lr_decay_rate", type=float,
+                   default=None, help="LR multiplier at each shift epoch")
+    p.add_argument("--clr", default=None,
+                   choices=["triangular", "triangular2", "exp_range"],
+                   help="cyclical LR instead of exponential shifts "
+                        "(reference clr.py)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--patience", dest="early_stop_patience", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
