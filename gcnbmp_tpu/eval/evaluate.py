@@ -37,13 +37,14 @@ class PairEvaluator:
 
     def __init__(self, predictor, params, batch_size: int = 32,
                  pad_to: Optional[int] = None, class_num: int = 1,
-                 supernode_fn=None):
+                 supernode_fn=None, class_names=None):
         self.predictor = predictor
         self.params = params
         self.batch_size = batch_size
         self.pad_to = pad_to
         self.class_num = class_num
         self.supernode_fn = supernode_fn
+        self.class_names = class_names
 
         uses_supers = supernode_fn is not None
 
@@ -96,7 +97,9 @@ class PairEvaluator:
             e2_all.append(np.asarray(g2)[valid])
         logits = np.concatenate(logits_all)
         labels = np.concatenate(labels_all)
-        metrics = compute_metrics(logits, labels, self.class_num)
+        metrics = compute_metrics(
+            logits, labels, self.class_num, class_names=self.class_names
+        )
         return EvalResult(
             logits=logits, labels=labels,
             e1=np.concatenate(e1_all), e2=np.concatenate(e2_all),
@@ -148,12 +151,12 @@ def evaluate_dataset(
     predictor, params, ds: PairDataset, out_dir: Optional[str] = None,
     source_csv: Optional[str] = None, batch_size: int = 32,
     class_num: int = 1, is_successful: Optional[np.ndarray] = None,
-    supernode_fn=None,
+    supernode_fn=None, class_names=None,
 ) -> EvalResult:
     """One-call evaluation + optional exports + eval_result.json."""
     result = PairEvaluator(
         predictor, params, batch_size=batch_size, class_num=class_num,
-        supernode_fn=supernode_fn,
+        supernode_fn=supernode_fn, class_names=class_names,
     ).evaluate(ds)
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -46,25 +46,43 @@ def binary_metrics(
 
 
 def multilabel_metrics(
-    logits: np.ndarray, labels: np.ndarray, threshold: float = 0.5
+    logits: np.ndarray, labels: np.ndarray, threshold: float = 0.5,
+    class_names=None,
 ) -> Dict[str, float]:
-    """Per-class-mean metrics for multi-hot labels (B, C)."""
+    """Per-class-mean metrics for multi-hot labels (B, C).
+
+    With ``class_names`` (length C), also returns a ``"per_class"`` dict
+    mapping each name to its own roc_auc/prc_auc/f1/support — the
+    per-column breakdown behind the reference evaluators' class means
+    (training/multilabel_extensions/roc_auc_evaluator.py:119-128).
+    """
     logits = np.asarray(logits, dtype=np.float64)
     labels = np.asarray(labels).astype(np.int64)
     probs = _sigmoid(logits)
     preds = (probs >= threshold).astype(np.int64)
     rocs, prcs, f1s, accs, precs, recs = [], [], [], [], [], []
+    per_class: Dict[str, Dict[str, float]] = {}
     for c in range(labels.shape[1]):
         y = labels[:, c]
-        accs.append(float((preds[:, c] == y).mean()))
-        f1s.append(float(skm.f1_score(y, preds[:, c], zero_division=0)))
+        acc = float((preds[:, c] == y).mean())
+        f1 = float(skm.f1_score(y, preds[:, c], zero_division=0))
+        accs.append(acc)
+        f1s.append(f1)
         precs.append(float(skm.precision_score(y, preds[:, c], zero_division=0)))
         recs.append(float(skm.recall_score(y, preds[:, c], zero_division=0)))
+        roc = prc = float("nan")
         if 0 < y.sum() < y.size:
-            rocs.append(float(skm.roc_auc_score(y, probs[:, c])))
+            roc = float(skm.roc_auc_score(y, probs[:, c]))
             p, r, _ = skm.precision_recall_curve(y, probs[:, c])
-            prcs.append(float(skm.auc(r, p)))
-    return {
+            prc = float(skm.auc(r, p))
+            rocs.append(roc)
+            prcs.append(prc)
+        if class_names is not None:
+            per_class[str(class_names[c])] = {
+                "roc_auc": roc, "prc_auc": prc, "f1": f1,
+                "support": int(y.sum()),
+            }
+    out: Dict[str, float] = {
         "accuracy": float(np.mean(accs)) if accs else float("nan"),
         "roc_auc": float(np.mean(rocs)) if rocs else float("nan"),
         "prc_auc": float(np.mean(prcs)) if prcs else float("nan"),
@@ -72,11 +90,15 @@ def multilabel_metrics(
         "precision": float(np.mean(precs)) if precs else float("nan"),
         "recall": float(np.mean(recs)) if recs else float("nan"),
     }
+    if class_names is not None:
+        out["per_class"] = per_class
+    return out
 
 
 def compute_metrics(
-    logits: np.ndarray, labels: np.ndarray, class_num: int = 1
+    logits: np.ndarray, labels: np.ndarray, class_num: int = 1,
+    class_names=None,
 ) -> Dict[str, float]:
     if class_num > 1:
-        return multilabel_metrics(logits, labels)
+        return multilabel_metrics(logits, labels, class_names=class_names)
     return binary_metrics(logits, labels)

@@ -110,6 +110,20 @@ def test_multilabel_metrics_skips_degenerate_columns():
     assert np.isfinite(m["accuracy"])
 
 
+def test_multilabel_metrics_per_class_breakdown():
+    logits = np.array([[2.0, 1.0], [-2.0, 1.0], [3.0, -1.0]])
+    labels = np.array([[1, 1], [0, 1], [1, 0]])
+    m = multilabel_metrics(logits, labels, class_names=["tA", "tB"])
+    pc = m["per_class"]
+    assert set(pc) == {"tA", "tB"}
+    assert pc["tA"]["roc_auc"] == 1.0
+    assert pc["tA"]["support"] == 2
+    assert pc["tB"]["support"] == 2
+    # class means unchanged by requesting the breakdown
+    m2 = multilabel_metrics(logits, labels)
+    assert m2["roc_auc"] == m["roc_auc"] and "per_class" not in m2
+
+
 def test_exponential_shift_schedule():
     from gcnbmp_tpu.train.schedules import exponential_shift_schedule
 
