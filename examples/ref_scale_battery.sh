@@ -78,3 +78,19 @@ python train.py --train dataset/synth546/kaist/ddi_train_multi.csv \
 python eval.py --test dataset/synth546/kaist/ddi_test_multi.csv \
   --run results/ref_scale_multi --checkpoint best \
   --labels-csv dataset/synth546/labels.csv --out results/ref_scale_multi/eval
+
+# KAIST-scale multi-label (x37-style): 1704 drugs x 37 interaction types
+# (reference setting.py NUM_DRUGS_KAIST / train_ggnn_hole_multi_class_x37.py)
+python examples/make_synth_drugbank.py --out dataset/synth1704 --kaist
+python data_generator.py --split kaist \
+  --kaist-csv dataset/synth1704/pairs_multilabel.csv --out dataset/synth1704/kaist
+python train.py --train dataset/synth1704/kaist/ddi_train_multi.csv \
+  --val dataset/synth1704/kaist/ddi_valid_multi.csv \
+  --labels-csv dataset/synth1704/labels.csv \
+  --method ggnn --sim-method hole --conv-layers 8 --fp-hidden-dim 32 \
+  --fp-out-dim 32 --weight-tying false --compute-path coo --batch-size 2048 \
+  --lr 2e-3 --epochs 250 --patience 25 --exp-shift-strategy 3 \
+  --no-eval-train --seed 0 --out results/kaist1704_x37
+python eval.py --test dataset/synth1704/kaist/ddi_test_multi.csv \
+  --run results/kaist1704_x37 --checkpoint best \
+  --labels-csv dataset/synth1704/labels.csv --out results/kaist1704_x37/eval
