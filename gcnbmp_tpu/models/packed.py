@@ -40,6 +40,39 @@ class PackedGatedReadout(nn.Module):
         return g * node_mask[..., None]
 
 
+class PackedCommonReadout(nn.Module):
+    """Packed twin of CommonGGNNReadout (models/readouts.py; reference
+    models/readout/ggnn_readout.py:13-59): per-node gate * value over
+    [h, h0] (or h alone), masked.  The molecule sum happens outside via
+    segment_sum; callers apply ``activation_agg`` after the sum, matching
+    the padded readout's post-sum activation.  Param names (i, j) match
+    CommonGGNNReadout so weights swap freely between layouts."""
+
+    out_dim: int
+    nobias: bool = False
+    activation: Any = None
+
+    @nn.compact
+    def __call__(self, h, h0, node_mask):
+        act = self.activation if self.activation is not None else (lambda x: x)
+        h1 = jnp.concatenate([h, h0], axis=-1) if h0 is not None else h
+        g1 = jax.nn.sigmoid(
+            GraphLinear(self.out_dim, use_bias=not self.nobias, name="i")(h1)
+        )
+        g2 = act(GraphLinear(self.out_dim, use_bias=not self.nobias, name="j")(h1))
+        return g1 * g2 * node_mask[..., None]
+
+
+def _segment_mol_sum(g_nodes, mol_id, num_mols: int):
+    """Sum per-node readout values into per-molecule embeddings.  Padding
+    slots carry mol_id == num_mols and fall into the discarded segment."""
+    flat = g_nodes.reshape(-1, g_nodes.shape[-1])
+    ids = mol_id.reshape(-1)
+    return jax.ops.segment_sum(
+        flat, ids, num_segments=num_mols + 1, indices_are_sorted=True
+    )[:num_mols]
+
+
 class PackedGGNN(nn.Module):
     """GGNN forward over packed tiles.
 
@@ -81,6 +114,77 @@ class PackedGGNN(nn.Module):
         g = jax.ops.segment_sum(
             flat, ids, num_segments=num_mols + 1, indices_are_sorted=True
         )[:num_mols]
+        return g, {"atoms": h, "h0": h0}
+
+
+class PackedRelGCN(nn.Module):
+    """RelGCN forward over packed tiles (reference models/relgcn.py:31-73).
+
+    Reuses the padded RelGCNUpdate unchanged — its per-edge-type matmul
+    is layout-agnostic over the leading (tile) axis, and tiles are
+    block-diagonal per molecule so no messages cross molecules.  Param
+    tree matches models/relgcn.RelGCN exactly (embed, conv_{i}/self+edge,
+    readout/i+j) so trained weights swap freely between layouts."""
+
+    out_dim: int
+    hidden_dim: int = 16
+    n_layers: int = 2
+    ch_list: Any = None
+    n_atom_types: int = MAX_ATOMIC_NUM
+    scale_adj: bool = False
+
+    @nn.compact
+    def __call__(self, atom_ids, adj, mol_id, node_mask, num_mols: int):
+        from gcnbmp_tpu.models.relgcn import RelGCNUpdate, rescale_adj
+
+        chs = (list(self.ch_list) if self.ch_list
+               else [self.hidden_dim] * (self.n_layers + 1))
+        h = EmbedAtomID(self.n_atom_types, chs[0], name="embed")(atom_ids)
+        if self.scale_adj:
+            adj = rescale_adj(adj)
+        for i in range(len(chs) - 1):
+            h = jnp.tanh(RelGCNUpdate(chs[i + 1], name=f"conv_{i}")(h, adj))
+        g_nodes = PackedCommonReadout(
+            self.out_dim, nobias=True, activation=jnp.tanh, name="readout"
+        )(h, None, node_mask)
+        g = _segment_mol_sum(g_nodes, mol_id, num_mols)
+        return g, {"atoms": h, "h0": None}
+
+
+class PackedGIN(nn.Module):
+    """GIN forward over packed tiles (reference models/gin.py:131-226).
+
+    Reuses the padded GINUpdate unchanged (neighbor-sum + self + 2-layer
+    MLP is layout-agnostic over the tile axis; padded slots never mix
+    into real nodes because tile adjacency is block-diagonal, and the
+    readout masks them).  Dropout runs deterministic on this path (the
+    trainer rejects dropout>0 for packed compute paths).  Param tree
+    matches models/gin.GIN (embed, update_{i}, readout_0/i+j)."""
+
+    out_dim: int
+    hidden_dim: int = 16
+    n_layers: int = 4
+    n_atom_types: int = MAX_ATOMIC_NUM
+    dropout_ratio: float = 0.0
+    weight_tying: bool = True
+
+    @nn.compact
+    def __call__(self, atom_ids, adj, mol_id, node_mask, num_mols: int):
+        from gcnbmp_tpu.models.gin import GINUpdate
+
+        h = EmbedAtomID(self.n_atom_types, self.hidden_dim, name="embed")(atom_ids)
+        h0 = h
+        n_message = 1 if self.weight_tying else self.n_layers
+        updates = [
+            GINUpdate(self.hidden_dim, self.dropout_ratio, name=f"update_{i}")
+            for i in range(n_message)
+        ]
+        for step in range(self.n_layers):
+            h = updates[0 if self.weight_tying else step](h, adj, True)
+        g_nodes = PackedCommonReadout(self.out_dim, name="readout_0")(
+            h, h0, node_mask
+        )
+        g = _segment_mol_sum(g_nodes, mol_id, num_mols)
         return g, {"atoms": h, "h0": h0}
 
 
@@ -302,6 +406,9 @@ def fused_pair_logits(
     return predictor.head.apply({"params": params["head"]}, g1, g2)
 
 
+PACKED_ENCODERS = ("ggnn", "relgcn", "gin")
+
+
 def make_packed_predictor(
     fp_hidden_dim: int = 32,
     fp_out_dim: int = 32,
@@ -314,16 +421,33 @@ def make_packed_predictor(
     compact: bool = False,
     attn: "str | None" = None,
     adj_dtype=jnp.float32,
+    method: str = "ggnn",
 ) -> PackedPairPredictor:
     from gcnbmp_tpu.models.heads import HEADS
 
     head_kwargs: Dict[str, Any] = {"out_dim": class_num}
     if sim_method in ("hole", "mlp", "symmlp", "ntn", "dist-mult"):
         head_kwargs["hidden_dims"] = tuple(net_hidden_dims)
-    encoder = PackedGGNN(
-        out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
-        weight_tying=weight_tying, name="encoder",
-    )
+    if method == "ggnn":
+        encoder = PackedGGNN(
+            out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
+            weight_tying=weight_tying, name="encoder",
+        )
+    elif method == "relgcn":
+        encoder = PackedRelGCN(
+            out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
+            name="encoder",
+        )
+    elif method == "gin":
+        encoder = PackedGIN(
+            out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
+            weight_tying=weight_tying, name="encoder",
+        )
+    else:
+        raise ValueError(
+            f"packed compute paths support methods {PACKED_ENCODERS}, "
+            f"got {method!r}"
+        )
     head = HEADS[sim_method](name="head", **head_kwargs)
     if attn is not None:
         from gcnbmp_tpu.models.coattention import build_coattention

@@ -559,6 +559,7 @@ class Trainer:
                 sim_method=cfg.sim_method, class_num=cfg.class_num,
                 net_hidden_dims=cfg.net_hidden_dims, compact=coo,
                 attn=cfg.attn if coo else None, adj_dtype=adj_dtype,
+                method=cfg.method,
             )
             if cfg.scan_steps > 1 and cfg.compute_path == "fused":
                 raise ValueError("scan_steps requires compute_path "
@@ -917,8 +918,14 @@ class Trainer:
     def _check_packed_compatible(self, allow_attn: bool = False) -> None:
         cfg = self.config
         problems = []
-        if cfg.method != "ggnn":
-            problems.append(f"method={cfg.method!r} (only 'ggnn')")
+        from gcnbmp_tpu.models.packed import PACKED_ENCODERS
+
+        if cfg.method not in PACKED_ENCODERS:
+            problems.append(
+                f"method={cfg.method!r} (only {'/'.join(PACKED_ENCODERS)})"
+            )
+        if cfg.compute_path == "fused" and cfg.method != "ggnn":
+            problems.append("fused Pallas kernel is GGNN-only")
         if cfg.attn is not None and not allow_attn:
             problems.append("co-attention (use compute_path='coo')")
         if not cfg.siamese:

@@ -50,6 +50,23 @@ def test_packed_training_learns(tmp_path, path):
     assert log[-1]["train/roc_auc"] > 0.8
 
 
+@pytest.mark.parametrize("method", ["relgcn", "gin"])
+def test_coo_training_learns_relgcn_gin(tmp_path, method):
+    """RelGCN/GIN ride the packed COO fast path end-to-end (the new
+    PackedRelGCN/PackedGIN encoders)."""
+    cfg = TrainConfig(
+        method=method, sim_method="hole", fp_hidden_dim=8, fp_out_dim=8,
+        conv_layers=2, batch_size=8, learning_rate=5e-3, epochs=10,
+        early_stop_patience=100, out_dir=str(tmp_path / method),
+        snapshot_interval=100, seed=0, compute_path="coo",
+        plot_reports=False,
+    )
+    result = Trainer(cfg, _toy(), val_ds=_toy(seed=1)).fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert log[-1]["train/roc_auc"] > 0.8
+
+
 def test_coo_coattention_training_learns(tmp_path):
     """Co-attention rides the COO packed path end-to-end (train + eval)."""
     cfg = TrainConfig(
