@@ -245,6 +245,52 @@ def measure_fused(device, iters):
     return edges / dt, dt, edges
 
 
+def measure_packed_method(device, iters, method):
+    """Packed-path train step for the alternative encoders
+    (PackedRelGCN/PackedGIN) — opt-in diagnostic."""
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models.packed import make_packed_predictor
+    from gcnbmp_tpu.train.loop import sigmoid_cross_entropy
+
+    ds = build_dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(BATCH)))
+    predictor = make_packed_predictor(
+        fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
+        weight_tying=False, sim_method="hole", method=method,
+    )
+    optimizer = optax.adam(1e-3)
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    args = (
+        put(packed.atom_ids), put(packed.adj), put(packed.mol_id),
+        put(packed.node_mask), put(packed.left_index), put(packed.right_index),
+    )
+    y = put(packed.labels)
+    variables = predictor.init(jax.random.PRNGKey(0), *args)
+    params = jax.device_put(variables["params"], device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+
+    def loss_fn(p):
+        logits = predictor.apply({"params": p}, *args)
+        return sigmoid_cross_entropy(jnp.reshape(logits, y.shape), y)
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    for _ in range(WARMUP):
+        params, opt_state, loss = step(params, opt_state)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state)
+    assert np.isfinite(float(loss))
+    dt = (time.perf_counter() - t0) / iters
+    edges = float(packed.num_edges)
+    return edges / dt, dt, edges
+
+
 def measure_coo(device, iters):
     """The COO input path: on-device adjacency build inside the step
     (compute_path='coo'; native C++ packer when built).  This is the
@@ -452,6 +498,12 @@ def main():
         eps_cs, dt_cs, _ = measure_coo_scan(device, ITERS)
         print(f"# coo scan x{SCAN_STEPS}: step {dt_cs*1e3:.2f} ms, "
               f"{eps_cs/1e6:.1f}M edges/s", file=sys.stderr)
+    if os.environ.get("GCNBMP_BENCH_ENCODERS") == "1":
+        # alternative packed encoders (opt-in: +2 remote compiles)
+        for method in ("relgcn", "gin"):
+            eps_m, dt_m, _ = measure_packed_method(device, ITERS, method)
+            print(f"# packed {method}: step {dt_m*1e3:.2f} ms, "
+                  f"{eps_m/1e6:.1f}M edges/s", file=sys.stderr)
     # scan mode (Trainer scan_steps>1): the fastest training configuration
     eps_scan, dt_scan, _ = measure_packed_scan(device, ITERS)
     print(f"# packed scan x{SCAN_STEPS}: step {dt_scan*1e3:.2f} ms, "

@@ -40,6 +40,32 @@ run ref_scale_vqa   --sim-method ntn  --attn vqa      # RECORD.txt:264
 run ref_scale_circ  --sim-method ntn  --attn circ
 run ref_scale_bimpm --sim-method ntn  --attn bimpm
 
+# alternative encoders at reference scale on the packed COO fast path
+# (BASELINE.json configs: RelGCN relational message passing; GIN variant)
+run ref_scale_relgcn --method relgcn --sim-method hole
+run ref_scale_gin    --method gin    --sim-method hole
+
+# MPNN (EdgeNet messages + Set2Set readout) — padded compute path,
+# 8k-pair training subset (same protocol as the GWM row)
+python - <<'EOF'
+import pandas as pd
+df = pd.read_csv("dataset/synth546/inter/isc35000_train.csv")
+df.sample(8000, random_state=3).to_csv(
+    "dataset/synth546/inter/isc8000_train.csv", index=False)
+for split in ("valid", "test"):
+    d = pd.read_csv(f"dataset/synth546/inter/ddi_inter_{split}.csv")
+    d.sample(4000, random_state=3).to_csv(
+        f"dataset/synth546/inter/inter_{split}_4k.csv", index=False)
+EOF
+python train.py --train dataset/synth546/inter/isc8000_train.csv \
+  --val dataset/synth546/inter/inter_valid_4k.csv \
+  --method mpnn --sim-method hole --conv-layers 4 --fp-hidden-dim 32 \
+  --fp-out-dim 32 --batch-size 256 --lr 2e-3 --epochs 40 --patience 10 \
+  --no-eval-train --seed 0 --out results/ref_scale_mpnn
+python eval.py --test dataset/synth546/inter/inter_test_4k.csv \
+  --run results/ref_scale_mpnn --checkpoint best \
+  --out results/ref_scale_mpnn/eval --batch-size 256
+
 # harder generalization splits (the reference's similarity-split study)
 python data_generator.py --drug-list dataset/synth546/drug_list.csv \
   --matrix dataset/synth546/drug_drug_matrix.csv --split drug \
@@ -94,3 +120,18 @@ python train.py --train dataset/synth1704/kaist/ddi_train_multi.csv \
 python eval.py --test dataset/synth1704/kaist/ddi_test_multi.csv \
   --run results/kaist1704_x37 --checkpoint best \
   --labels-csv dataset/synth1704/labels.csv --out results/kaist1704_x37/eval
+
+# KAIST-scale x37 with NTN + nie fine-grained co-attention
+# (reference RECORD.txt:250 head/attn on the multi-label task)
+python train.py --train dataset/synth1704/kaist/ddi_train_multi.csv \
+  --val dataset/synth1704/kaist/ddi_valid_multi.csv \
+  --labels-csv dataset/synth1704/labels.csv \
+  --method ggnn --sim-method ntn --attn nie --conv-layers 8 \
+  --fp-hidden-dim 32 --fp-out-dim 32 --weight-tying false \
+  --compute-path coo --batch-size 2048 --lr 2e-3 --epochs 250 \
+  --patience 25 --exp-shift-strategy 3 --no-eval-train --seed 0 \
+  --out results/kaist1704_x37_nie
+python eval.py --test dataset/synth1704/kaist/ddi_test_multi.csv \
+  --run results/kaist1704_x37_nie --checkpoint best \
+  --labels-csv dataset/synth1704/labels.csv \
+  --out results/kaist1704_x37_nie/eval --batch-size 512
