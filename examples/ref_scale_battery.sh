@@ -66,6 +66,16 @@ python eval.py --test dataset/synth546/inter/inter_test_4k.csv \
   --run results/ref_scale_mpnn --checkpoint best \
   --out results/ref_scale_mpnn/eval --batch-size 256
 
+# NFP (neural fingerprint) — same subset protocol
+python train.py --train dataset/synth546/inter/isc8000_train.csv \
+  --val dataset/synth546/inter/inter_valid_4k.csv \
+  --method nfp --sim-method hole --conv-layers 4 --fp-hidden-dim 32 \
+  --fp-out-dim 32 --batch-size 256 --lr 2e-3 --epochs 40 --patience 10 \
+  --no-eval-train --seed 0 --out results/ref_scale_nfp
+python eval.py --test dataset/synth546/inter/inter_test_4k.csv \
+  --run results/ref_scale_nfp --checkpoint best \
+  --out results/ref_scale_nfp/eval --batch-size 256
+
 # harder generalization splits (the reference's similarity-split study)
 python data_generator.py --drug-list dataset/synth546/drug_list.csv \
   --matrix dataset/synth546/drug_drug_matrix.csv --split drug \
@@ -104,6 +114,27 @@ python train.py --train dataset/synth546/kaist/ddi_train_multi.csv \
 python eval.py --test dataset/synth546/kaist/ddi_test_multi.csv \
   --run results/ref_scale_multi --checkpoint best \
   --labels-csv dataset/synth546/labels.csv --out results/ref_scale_multi/eval
+
+# multi-label with JKNet/GRU jumping-knowledge fusion (BASELINE.json
+# config 5; padded path — layer aggregators are not on the packed path)
+python - <<'EOF'
+import pandas as pd
+for split, n in (("train", 8000), ("valid", 4000), ("test", 4000)):
+    d = pd.read_csv(f"dataset/synth546/kaist/ddi_{split}_multi.csv")
+    d.sample(min(n, len(d)), random_state=3).to_csv(
+        f"dataset/synth546/kaist/ddi_{split}_multi_sub.csv", index=False)
+EOF
+python train.py --train dataset/synth546/kaist/ddi_train_multi_sub.csv \
+  --val dataset/synth546/kaist/ddi_valid_multi_sub.csv \
+  --labels-csv dataset/synth546/labels.csv \
+  --method ggnn --sim-method hole --conv-layers 8 --fp-hidden-dim 32 \
+  --fp-out-dim 32 --weight-tying false --layer-aggregator gru \
+  --batch-size 256 --lr 2e-3 --epochs 40 --patience 10 \
+  --no-eval-train --seed 0 --out results/ref_scale_jkgru_multi
+python eval.py --test dataset/synth546/kaist/ddi_test_multi_sub.csv \
+  --run results/ref_scale_jkgru_multi --checkpoint best \
+  --labels-csv dataset/synth546/labels.csv \
+  --out results/ref_scale_jkgru_multi/eval --batch-size 256
 
 # KAIST-scale multi-label (x37-style): 1704 drugs x 37 interaction types
 # (reference setting.py NUM_DRUGS_KAIST / train_ggnn_hole_multi_class_x37.py)
