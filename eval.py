@@ -98,7 +98,7 @@ def main(argv=None):
         trainer.predictor, state.params, ds, out_dir=out_dir,
         source_csv=args.test, batch_size=args.batch_size,
         class_num=cfg.class_num, is_successful=res.is_successful,
-        supernode_fn=supernode_fn, class_names=classes,
+        supernode_fn=supernode_fn, class_names=classes, train_cfg=cfg,
     )
     print(json.dumps(
         {k: v for k, v in result.metrics.items() if k != "per_class"}

@@ -197,12 +197,16 @@ class PackedPairPredictor(nn.Module):
     head: nn.Module     # name='head'
 
     @nn.compact
-    def __call__(self, atom_ids, adj, mol_id, node_mask, left_index, right_index):
+    def __call__(self, atom_ids, adj, mol_id, node_mask, left_index,
+                 right_index, return_g: bool = False):
         num_mols = 2 * left_index.shape[0]
         g, _ = self.encoder(atom_ids, adj, mol_id, node_mask, num_mols)
         g1 = jnp.take(g, left_index, axis=0)
         g2 = jnp.take(g, right_index, axis=0)
-        return self.head(g1, g2)
+        logits = self.head(g1, g2)
+        if return_g:
+            return logits, g1, g2
+        return logits
 
 
 class PackedPairPredictorCOO(nn.Module):
@@ -218,7 +222,8 @@ class PackedPairPredictorCOO(nn.Module):
 
     @nn.compact
     def __call__(self, atom_ids, e_tile, e_type, e_src, e_dst, e_mask,
-                 mol_id, node_mask, left_index, right_index):
+                 mol_id, node_mask, left_index, right_index,
+                 return_g: bool = False):
         from gcnbmp_tpu.ops.aggregate import adj_from_coo
 
         p, t = atom_ids.shape
@@ -230,7 +235,10 @@ class PackedPairPredictorCOO(nn.Module):
         g, _ = self.encoder(atom_ids, adj, mol_id, node_mask, num_mols)
         g1 = jnp.take(g, left_index, axis=0)
         g2 = jnp.take(g, right_index, axis=0)
-        return self.head(g1, g2)
+        logits = self.head(g1, g2)
+        if return_g:
+            return logits, g1, g2
+        return logits
 
 
 def coo_batch_args(batch) -> Tuple:
@@ -256,7 +264,8 @@ class PackedPairPredictorCOOCompact(nn.Module):
     adj_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, nodes, e_packed, n_edges, left_index, right_index):
+    def __call__(self, nodes, e_packed, n_edges, left_index, right_index,
+                 return_g: bool = False):
         from gcnbmp_tpu.ops.aggregate import adj_from_coo
 
         atom_ids, mol_id = nodes[0], nodes[1]
@@ -278,7 +287,10 @@ class PackedPairPredictorCOOCompact(nn.Module):
         g, _ = self.encoder(atom_ids, adj, mol_id, node_mask, num_mols)
         g1 = jnp.take(g, left_index, axis=0)
         g2 = jnp.take(g, right_index, axis=0)
-        return self.head(g1, g2)
+        logits = self.head(g1, g2)
+        if return_g:
+            return logits, g1, g2
+        return logits
 
 
 class PackedCoattnPairPredictor(nn.Module):
@@ -299,7 +311,8 @@ class PackedCoattnPairPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, nodes, e_packed, n_edges, left_index, right_index,
-                 left_slots, right_slots, left_mask, right_mask):
+                 left_slots, right_slots, left_mask, right_mask,
+                 return_g: bool = False):
         from gcnbmp_tpu.ops.aggregate import adj_from_coo
 
         atom_ids, mol_id = nodes[0], nodes[1]
@@ -325,7 +338,10 @@ class PackedCoattnPairPredictor(nn.Module):
         g1 = jnp.take(g, left_index, axis=0)
         g2 = jnp.take(g, right_index, axis=0)
         g1, g2 = self.coattention(atoms1, g1, atoms2, g2, left_mask, right_mask)
-        return self.head(g1, g2)
+        logits = self.head(g1, g2)
+        if return_g:
+            return logits, g1, g2
+        return logits
 
 
 def compact_coattn_arrays(batch, n_max: int) -> Tuple:

@@ -61,10 +61,19 @@ def main(argv=None):
         from gcnbmp_tpu.models.gwm import default_supernode_fn
 
         supernode_fn = default_supernode_fn()
-    result = PairEvaluator(
-        trainer.predictor, state.params, batch_size=args.batch_size,
-        class_num=cfg.class_num, supernode_fn=supernode_fn,
-    ).evaluate(res.dataset)
+    from gcnbmp_tpu.eval.evaluate import PackedPairEvaluator, _packed_eval_eligible
+
+    if _packed_eval_eligible(cfg, supernode_fn):
+        evaluator = PackedPairEvaluator(
+            cfg, state.params, batch_size=args.batch_size,
+            class_num=cfg.class_num,
+        )
+    else:
+        evaluator = PairEvaluator(
+            trainer.predictor, state.params, batch_size=args.batch_size,
+            class_num=cfg.class_num, supernode_fn=supernode_fn,
+        )
+    result = evaluator.evaluate(res.dataset)
     probs = 1.0 / (1.0 + np.exp(-result.logits))
 
     out = df[np.asarray(res.is_successful)].reset_index(drop=True).copy()

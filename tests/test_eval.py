@@ -83,6 +83,42 @@ def test_evaluate_dataset_exports(tmp_path):
     assert ((ey["y"] >= 0) & (ey["y"] <= 1)).all()
 
 
+@pytest.mark.parametrize("method,attn", [("ggnn", None), ("relgcn", None),
+                                          ("ggnn", "nie")])
+def test_packed_evaluator_matches_padded(tmp_path, method, attn):
+    """evaluate_dataset with train_cfg routed to the packed COO fast path
+    produces the padded evaluator's logits, embeddings, and metrics."""
+    from gcnbmp_tpu.train import TrainConfig
+
+    ds, csv_path = _dataset_and_csv(tmp_path)
+    pred = set_up_predictor(
+        method=method, fp_hidden_dim=8, fp_out_dim=8, conv_layers=2,
+        sim_method="hole", attn_model=attn,
+    )
+    batch = make_batch(ds, [0, 1])
+    import jax.numpy as jnp
+
+    variables = pred.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
+        jnp.asarray(batch.atoms2), jnp.asarray(batch.adj2),
+        jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
+    )
+    params = variables["params"]
+    cfg = TrainConfig(
+        method=method, sim_method="hole", attn=attn, fp_hidden_dim=8,
+        fp_out_dim=8, conv_layers=2, compute_path="coo", batch_size=4,
+        out_dir=str(tmp_path / "run"),
+    )
+    padded = evaluate_dataset(pred, params, ds, batch_size=4)
+    packed = evaluate_dataset(pred, params, ds, batch_size=4, train_cfg=cfg)
+    np.testing.assert_allclose(packed.logits, padded.logits,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(packed.e1, padded.e1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(packed.e2, padded.e2, rtol=1e-4, atol=1e-5)
+    assert packed.metrics["accuracy"] == padded.metrics["accuracy"]
+
+
 def test_similarity_matrices():
     rng = np.random.default_rng(0)
     emb = np.abs(rng.normal(size=(5, 8)))
