@@ -106,6 +106,163 @@ def make_edgeshard_train_step(
     return step
 
 
+def make_edgeshard_coo_loss(
+    predictor,
+    mesh: Mesh,
+    axis: str = "graph",
+) -> Callable:
+    """Edgeshard loss over the COO input layout: each device receives its
+    local tile shard plus the (pre-partitioned, tile-localized) edge list
+    for those tiles and scatter-builds its local dense adjacency in HBM
+    (ops/aggregate.adj_from_coo) — the sustained-training input path
+    (compute_path='coo') made multi-device.  Zero cut edges by the same
+    argument as the dense path (molecules never span tiles); the only
+    collectives are the molecule-table psum and the loss/grad reductions.
+    Supports multi-hot labels (B, C) — the loss is the global
+    element-mean sigmoid CE with labels < 0 ignored, matching
+    train.loop.sigmoid_cross_entropy."""
+    enc = predictor.encoder
+    n_dev = mesh.shape[axis]
+
+    def local_loss(params, atom_ids, e_tile, e_type, e_src, e_dst, e_mask,
+                   mol_id, node_mask, left, right, labels):
+        from gcnbmp_tpu.ops.aggregate import adj_from_coo
+
+        p_local, t = atom_ids.shape
+        adj = adj_from_coo(
+            e_tile, e_type, e_src, e_dst, e_mask, num_tiles=p_local, tile=t
+        )
+        num_mols = 2 * left.shape[0] * n_dev
+        g_local, _ = enc.apply(
+            {"params": params["encoder"]},
+            atom_ids, adj, mol_id, node_mask, num_mols,
+        )
+        g = jax.lax.psum(g_local, axis)
+        g1 = jnp.take(g, left, axis=0)
+        g2 = jnp.take(g, right, axis=0)
+        logits = predictor.head.apply({"params": params["head"]}, g1, g2)
+        logits = jnp.reshape(logits, labels.shape)
+        per = optax.sigmoid_binary_cross_entropy(logits, labels)
+        valid = (labels >= 0).astype(per.dtype)
+        total = jax.lax.psum(jnp.sum(per * valid), axis)
+        count = jax.lax.psum(jnp.sum(valid), axis)
+        return total / jnp.maximum(count, 1.0)
+
+    in_specs = (
+        P(),            # params (replicated)
+        P(axis),        # atom_ids (tiles)
+        P(axis), P(axis), P(axis), P(axis), P(axis),  # edge arrays
+        P(axis),        # mol_id
+        P(axis),        # node_mask
+        P(axis),        # left (pairs)
+        P(axis),        # right
+        P(axis),        # labels
+    )
+    return jax.shard_map(
+        local_loss, mesh=mesh, in_specs=in_specs, out_specs=P(),
+        check_vma=False,
+    )
+
+
+def make_edgeshard_coo_train_step(
+    predictor,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = "graph",
+) -> Callable:
+    loss_fn = make_edgeshard_coo_loss(predictor, mesh, axis)
+
+    @jax.jit
+    def step(params, opt_state, *batch_args):
+        loss, grads = jax.value_and_grad(loss_fn)(params, *batch_args)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def shard_packed_coo_batch(coo, mesh: Mesh, axis: str = "graph",
+                           edge_capacity_per_shard: "int | None" = None):
+    """Pad + partition a PackedCOOBatch for the COO edgeshard step.
+
+    Tiles are padded to a multiple of the axis size and split
+    contiguously; each edge is routed to the device owning its tile with
+    its tile index localized to that shard; per-shard edge lists are
+    padded to a common static capacity (max over shards, 128-aligned,
+    unless ``edge_capacity_per_shard`` pins it — pass the same value
+    across steps to keep jit shapes closed).  Pairs are padded with
+    label -1 fill (ignored by the loss) and split contiguously."""
+    import numpy as np
+
+    n_dev = mesh.shape[axis]
+    p = coo.num_tiles
+    pad_tiles = (-p) % n_dev
+    tiles_per = (p + pad_tiles) // n_dev
+    b = len(coo.left_index)
+    pad_pairs = (-b) % n_dev
+
+    def pad0(x, k):
+        return np.pad(x, [(0, k)] + [(0, 0)] * (x.ndim - 1)) if k else x
+
+    atom_ids = pad0(coo.atom_ids, pad_tiles)
+    mol_id = np.pad(
+        coo.mol_id, [(0, pad_tiles), (0, 0)], constant_values=coo.num_mols,
+    ) if pad_tiles else coo.mol_id
+    node_mask = pad0(coo.node_mask, pad_tiles)
+
+    # route edges to their owning shard, localizing tile indices
+    real = coo.e_mask > 0
+    owner = coo.e_tile // tiles_per
+    shard_edges = []
+    for d in range(n_dev):
+        sel = real & (owner == d)
+        shard_edges.append((
+            coo.e_tile[sel] - d * tiles_per, coo.e_type[sel],
+            coo.e_src[sel], coo.e_dst[sel],
+        ))
+    cap = max(len(e[0]) for e in shard_edges)
+    cap = ((cap + 127) // 128) * 128
+    if edge_capacity_per_shard is not None:
+        if edge_capacity_per_shard < cap:
+            raise ValueError(
+                f"edge_capacity_per_shard={edge_capacity_per_shard} < "
+                f"required {cap}"
+            )
+        cap = edge_capacity_per_shard
+
+    def padded_stack(i, dtype):
+        out = np.zeros((n_dev, cap), dtype)
+        for d, e in enumerate(shard_edges):
+            out[d, : len(e[i])] = e[i]
+        return out.reshape(n_dev * cap)
+
+    e_tile = padded_stack(0, np.int32)
+    e_type = padded_stack(1, np.int32)
+    e_src = padded_stack(2, np.int32)
+    e_dst = padded_stack(3, np.int32)
+    e_mask = np.zeros((n_dev, cap), np.float32)
+    for d, e in enumerate(shard_edges):
+        e_mask[d, : len(e[0])] = 1.0
+    e_mask = e_mask.reshape(n_dev * cap)
+
+    left = np.concatenate([coo.left_index, np.zeros(pad_pairs, np.int32)])
+    right = np.concatenate([coo.right_index, np.zeros(pad_pairs, np.int32)])
+    labels = np.asarray(coo.labels, np.float32)
+    if pad_pairs:
+        fill = -np.ones((pad_pairs,) + labels.shape[1:], np.float32)
+        labels = np.concatenate([labels, fill])
+
+    sh = lambda spec: NamedSharding(mesh, spec)
+    put = lambda x, spec: jax.device_put(jnp.asarray(x), sh(spec))
+    return (
+        put(atom_ids, P(axis)), put(e_tile, P(axis)), put(e_type, P(axis)),
+        put(e_src, P(axis)), put(e_dst, P(axis)), put(e_mask, P(axis)),
+        put(mol_id, P(axis)), put(node_mask, P(axis)), put(left, P(axis)),
+        put(right, P(axis)), put(labels, P(axis)),
+    )
+
+
 def shard_packed_batch(packed, mesh: Mesh, axis: str = "graph"):
     """Pad + device_put a PackedGraphBatch for the edgeshard step: tiles
     padded to a multiple of the axis size, pairs likewise."""

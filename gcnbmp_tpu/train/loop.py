@@ -542,8 +542,9 @@ class Trainer:
         )
         self.loss_fn = make_loss(cfg.loss, **loss_kwargs)
         packed = cfg.compute_path in ("packed", "fused", "coo")
-        if cfg.multi_device and cfg.compute_path != "packed":
-            raise ValueError("multi_device requires compute_path='packed'")
+        if cfg.multi_device and cfg.compute_path not in ("packed", "coo"):
+            raise ValueError(
+                "multi_device requires compute_path 'packed' or 'coo'")
         coo = cfg.compute_path == "coo"
         if packed:
             # co-attention rides the packed layout on the coo path only
@@ -564,17 +565,57 @@ class Trainer:
             if cfg.scan_steps > 1 and cfg.compute_path == "fused":
                 raise ValueError("scan_steps requires compute_path "
                                  "'packed' or 'coo'")
-            if cfg.multi_device and (
-                cfg.scan_steps > 1 or cfg.compute_path != "packed"
-            ):
-                raise ValueError(
-                    "multi_device requires compute_path='packed' and "
-                    "scan_steps=1"
-                )
+            if cfg.multi_device and cfg.scan_steps > 1:
+                raise ValueError("multi_device requires scan_steps=1")
             if cfg.scan_steps > 1:
                 train_step = make_packed_scan_train_step(
                     packed_predictor, self.optimizer, cfg.class_num,
                     self.loss_fn,
+                )
+            elif coo and cfg.multi_device:
+                # graph-sharded training over the sustained COO input
+                # path: each device scatter-builds its local tile
+                # adjacency from its edge shard (parallel/edgeshard.py
+                # make_edgeshard_coo_*); supports multi-hot labels
+                if cfg.attn is not None:
+                    raise ValueError(
+                        "multi_device COO does not support co-attention")
+                if cfg.loss != "sigmoid_ce":
+                    raise ValueError(
+                        "multi_device supports sigmoid-CE only")
+                import numpy as _np
+
+                from gcnbmp_tpu.parallel.edgeshard import (
+                    make_edgeshard_coo_train_step,
+                    shard_packed_coo_batch,
+                )
+
+                self._mesh = jax.sharding.Mesh(
+                    _np.asarray(jax.devices()), ("graph",)
+                )
+                # static per-shard edge capacity: even share + 50%
+                # imbalance headroom (FFD packing balances tile loads;
+                # shard_packed_coo_batch raises if ever exceeded).
+                # self.edge_capacity is set right after this block.
+                n_dev = len(jax.devices())
+                self._shard_batch = lambda b: shard_packed_coo_batch(
+                    b, self._mesh, axis="graph",
+                    edge_capacity_per_shard=min(
+                        ((self.edge_capacity + 127) // 128) * 128,
+                        max(
+                            (self.edge_capacity // n_dev * 3 // 2 + 127)
+                            // 128 * 128,
+                            2048,
+                        ),
+                    ),
+                )
+                train_step = make_edgeshard_coo_train_step(
+                    packed_predictor, self.optimizer, self._mesh,
+                    axis="graph",
+                )
+                logging.info(
+                    "multi_device: COO graph-sharded training over %d "
+                    "devices", n_dev,
                 )
             elif coo:
                 train_step = make_packed_coo_train_step(
@@ -681,8 +722,12 @@ class Trainer:
             eval_step_coo = make_eval_step_coo(packed_predictor)
 
             def run_eval(ds):
+                # multi_device params live replicated on the mesh; pull
+                # them host-side for the single-device eval jit
+                p = (jax.device_get(state.params) if cfg.multi_device
+                     else state.params)
                 return collect_logits_coo(
-                    eval_step_coo, state.params, ds, cfg.batch_size,
+                    eval_step_coo, p, ds, cfg.batch_size,
                     self.num_tiles, self.edge_capacity, args_fn=coo_args_fn,
                 )
         else:
@@ -756,7 +801,7 @@ class Trainer:
                             jax.device_put(labels),
                             edges,
                         )
-                elif coo:
+                elif coo and not cfg.multi_device:
                     # stage host->device transfers on the prefetch thread so
                     # they overlap with the device step (through the axon
                     # relay a serialized transfer costs ~100 ms/step — 15x
@@ -785,7 +830,13 @@ class Trainer:
                     epoch_edges += batch_edges
                     state.step += cfg.scan_steps
                     continue
-                if coo:
+                if coo and cfg.multi_device:
+                    batch_edges = batch.num_edges
+                    state.params, state.opt_state, loss = train_step(
+                        state.params, state.opt_state,
+                        *self._shard_batch(batch),
+                    )
+                elif coo:
                     if isinstance(batch, tuple):  # staged by the prefetcher
                         args, labels, batch_edges = batch
                     else:

@@ -106,6 +106,62 @@ def test_edgeshard_train_step_runs():
     assert losses[-1] < losses[0]  # optimizing
 
 
+@pytest.mark.parametrize("multilabel", [False, True])
+def test_edgeshard_coo_loss_matches_single_device(multilabel):
+    """COO-input edgeshard (per-device adjacency scatter from the local
+    edge shard) reproduces the single-device COO loss and gradients,
+    for binary and multi-hot labels."""
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+    from gcnbmp_tpu.models.packed import coo_batch_args
+    from gcnbmp_tpu.parallel.edgeshard import (
+        make_edgeshard_coo_loss,
+        shard_packed_coo_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    f = GGNNFeaturizer()
+    ds = PairDataset()
+    for _ in range(16):
+        s1 = SMILES[int(rng.integers(len(SMILES)))]
+        s2 = SMILES[int(rng.integers(len(SMILES)))]
+        y = (rng.integers(0, 2, size=3).astype(np.float32) if multilabel
+             else np.float32(rng.integers(0, 2)))
+        ds.append(f(mol_from_smiles(s1)), f(mol_from_smiles(s2)), y)
+    coo = pack_pair_dataset_coo(ds, list(range(16)), num_tiles=8)
+    class_num = 3 if multilabel else 1
+    pred = make_packed_predictor(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, weight_tying=False,
+        sim_method="hole", class_num=class_num, coo=True,
+    )
+    args_single = tuple(jnp.asarray(a) for a in coo_batch_args(coo))
+    variables = pred.init(jax.random.PRNGKey(0), *args_single)
+    params = variables["params"]
+    y = jnp.asarray(coo.labels)
+
+    def single_loss(p):
+        logits = pred.apply({"params": p}, *args_single)
+        return sigmoid_cross_entropy(jnp.reshape(logits, y.shape), y)
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("graph",))
+    loss_fn = make_edgeshard_coo_loss(pred, mesh, axis="graph")
+    sharded_args = shard_packed_coo_batch(coo, mesh, axis="graph")
+
+    np.testing.assert_allclose(
+        float(loss_fn(params, *sharded_args)), float(single_loss(params)),
+        rtol=1e-5,
+    )
+    g_single = jax.grad(single_loss)(params)
+    g_shard = jax.grad(lambda p: loss_fn(p, *sharded_args))(params)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_single),
+        jax.tree_util.tree_leaves_with_path(g_shard),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(ka),
+        )
+
+
 def test_dp_tp_sharded_step_matches_single_device():
     # (data, model) mesh step produces the same loss as unsharded
     from gcnbmp_tpu.models import set_up_predictor
@@ -183,8 +239,20 @@ def test_trainer_multi_device_end_to_end(tmp_path):
     assert log[-1]["main/loss"] < log[0]["main/loss"]
     assert log[-1]["train/roc_auc"] > 0.9
 
+    # the sustained COO input path is multi-device too (edgeshard COO)
+    cfg_coo = TrainConfig(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, batch_size=16,
+        learning_rate=5e-3, epochs=8, early_stop_patience=100,
+        compute_path="coo", multi_device=True,
+        out_dir=str(tmp_path / "coo"), snapshot_interval=100, seed=0,
+    )
+    result = Trainer(cfg_coo, ds, None).fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert log[-1]["train/roc_auc"] > 0.9
+
     with pytest.raises(ValueError, match="multi_device"):
         Trainer(
-            TrainConfig(compute_path="coo", multi_device=True,
+            TrainConfig(compute_path="fused", multi_device=True,
                         out_dir=str(tmp_path / "bad")), ds, None
         ).fit()
