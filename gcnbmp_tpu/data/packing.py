@@ -157,6 +157,47 @@ def estimate_tiles(sizes: Sequence[int], tile: int = TILE, slack: float = 1.1) -
     return int(np.ceil(slack * total / tile)) + 1
 
 
+def estimate_coo_capacities(datasets, batch_size: int, tile: int = TILE):
+    """Static (num_tiles, edge_capacity) bounds covering every
+    ``batch_size``-pair batch drawn from any of ``datasets`` — shuffled
+    train batches and sequential eval batches alike.  Tail batches are
+    covered provided their fill row is the smallest pair
+    (``smallest_pair_index``): repeating it is dominated by the
+    worst-case full batch these bounds are computed from."""
+    num_tiles = 0
+    edge_capacity = 0
+    for ds in datasets:
+        sizes = sorted(
+            [g.num_atoms for g in ds.graphs1]
+            + [g.num_atoms for g in ds.graphs2],
+            reverse=True,
+        )
+        worst = sizes[: 2 * batch_size]
+        num_tiles = max(num_tiles, estimate_tiles(worst, tile, slack=1.0) + 1)
+        per_pair = sorted(
+            (ds.graphs1[i].num_edges + ds.graphs2[i].num_edges
+             for i in range(len(ds))),
+            reverse=True,
+        )
+        cap = int(sum(per_pair[:batch_size]))
+        edge_capacity = max(edge_capacity, ((cap + 127) // 128) * 128 + 128)
+    return num_tiles, edge_capacity
+
+
+def smallest_pair_index(ds) -> int:
+    """Index of the pair with the fewest atoms (ties: fewest edges) — the
+    safe tail-batch fill row.  Filling with pair 0 can overflow the
+    static capacity bounds when pair 0 happens to be large; filling with
+    the smallest pair never can."""
+    return int(min(
+        range(len(ds)),
+        key=lambda i: (
+            ds.graphs1[i].num_atoms + ds.graphs2[i].num_atoms,
+            ds.graphs1[i].num_edges + ds.graphs2[i].num_edges,
+        ),
+    ))
+
+
 # ---------------------------------------------------------------------------
 # COO packed batches: host ships ~1 MB of edge indices; the dense adjacency
 # is materialized ON DEVICE inside the jitted step (adj_from_coo) instead of

@@ -143,58 +143,29 @@ class PackedPairEvaluator:
         self._eval_fn = eval_fn
 
     def evaluate(self, ds: PairDataset) -> EvalResult:
-        from gcnbmp_tpu.data import native_pack
-        from gcnbmp_tpu.data.packing import (
-            TILE,
-            estimate_tiles,
-            pack_pair_dataset_coo,
-        )
+        from gcnbmp_tpu.data.packing import estimate_coo_capacities
         from gcnbmp_tpu.models.packed import (
             compact_coattn_arrays,
             compact_coo_arrays,
         )
+        from gcnbmp_tpu.train.loop import iter_coo_eval_batches
 
         bs = min(self.batch_size, len(ds))
-        sizes = sorted(
-            [g.num_atoms for g in ds.graphs1]
-            + [g.num_atoms for g in ds.graphs2], reverse=True,
-        )
-        num_tiles = estimate_tiles(sizes[: 2 * bs], TILE, slack=1.0) + 1
-        per_pair = sorted(
-            (ds.graphs1[i].num_edges + ds.graphs2[i].num_edges
-             for i in range(len(ds))), reverse=True,
-        )
-        cap = int(sum(per_pair[:bs]))
-        edge_capacity = ((cap + 127) // 128) * 128 + 128
+        num_tiles, edge_capacity = estimate_coo_capacities([ds], bs)
         if self.cfg.attn is not None:
-            n_max = max(sizes)
+            n_max = max(
+                max(g.num_atoms for g in ds.graphs1),
+                max(g.num_atoms for g in ds.graphs2),
+            )
             n_max = ((n_max + 7) // 8) * 8
             args_fn = lambda b: compact_coattn_arrays(b, n_max)
         else:
             args_fn = compact_coo_arrays
 
-        cache = None
-        if native_pack.native_pack_available():
-            cache = getattr(ds, "_native_pack_cache", None)
-            if cache is None:
-                cache = native_pack.PairDatasetCache(ds)
-                ds._native_pack_cache = cache
         logits_all, labels_all, e1_all, e2_all = [], [], [], []
-        n = len(ds)
-        for start in range(0, n, bs):
-            idx = list(range(start, min(start + bs, n)))
-            valid = len(idx)
-            idx = idx + [0] * (bs - valid)
-            if cache is not None:
-                batch = native_pack.pack_pairs_native(
-                    cache, idx, num_tiles=num_tiles,
-                    edge_capacity=edge_capacity,
-                )
-            else:
-                batch = pack_pair_dataset_coo(
-                    ds, idx, num_tiles=num_tiles,
-                    edge_capacity=edge_capacity,
-                )
+        for batch, valid in iter_coo_eval_batches(
+            ds, bs, num_tiles, edge_capacity
+        ):
             args = tuple(jnp.asarray(a) for a in args_fn(batch))
             logits, g1, g2 = self._eval_fn(self.params, args)
             labels = np.asarray(batch.labels)
@@ -202,10 +173,17 @@ class PackedPairEvaluator:
                 labels.shape if self.class_num == 1
                 else (labels.shape[0], -1)
             )
-            logits_all.append(logits[:valid])
-            labels_all.append(labels[:valid])
-            e1_all.append(np.asarray(g1)[:valid])
-            e2_all.append(np.asarray(g2)[:valid])
+            labels = labels[:valid]
+            # drop ignore-labeled rows (label < 0), matching PairEvaluator
+            keep = (
+                (labels >= 0).all(axis=-1) if labels.ndim > 1
+                else labels >= 0
+            )
+            logits_all.append(logits[:valid][keep])
+            labels_all.append(labels[keep])
+            # embeddings are per-PAIR (g1 = left mol of pair i)
+            e1_all.append(np.asarray(g1)[:valid][keep])
+            e2_all.append(np.asarray(g2)[:valid][keep])
         logits = np.concatenate(logits_all)
         labels = np.concatenate(labels_all)
         metrics = compute_metrics(
@@ -221,15 +199,15 @@ class PackedPairEvaluator:
 def _packed_eval_eligible(train_cfg, supernode_fn) -> bool:
     if train_cfg is None or supernode_fn is not None:
         return False
-    from gcnbmp_tpu.models.packed import PACKED_ENCODERS
+    if getattr(train_cfg, "compute_path", "padded") not in (
+        "packed", "coo", "fused",
+    ):
+        return False
+    # single source of truth for packed-path compatibility (the same
+    # predicate the Trainer enforces at training time)
+    from gcnbmp_tpu.train.loop import packed_config_problems
 
-    return (
-        getattr(train_cfg, "compute_path", "padded")
-        in ("packed", "coo", "fused")
-        and train_cfg.method in PACKED_ENCODERS
-        and train_cfg.symmetric is None
-        and train_cfg.siamese
-    )
+    return not packed_config_problems(train_cfg, allow_attn=True)
 
 
 def _float_list_to_str(v: np.ndarray) -> str:

@@ -351,20 +351,47 @@ def make_eval_step_coo(coo_predictor):
     return eval_fn
 
 
-def collect_logits_coo(
-    eval_fn, params, ds: PairDataset, batch_size: int, num_tiles: int,
-    edge_capacity: int, args_fn=None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Full-dataset logits over the COO packed layout.  Tail batches are
-    filled by repeating row 0 (static jit shapes); fill logits are
-    dropped.  ``args_fn`` maps a PackedCOOBatch to the predictor's
-    positional args (default: the wire-compact encoding)."""
-    from gcnbmp_tpu.data import native_pack
-    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
-    from gcnbmp_tpu.models.packed import compact_coo_arrays
+def packed_config_problems(cfg, allow_attn: bool = False) -> List[str]:
+    """The single source of truth for which configurations the packed
+    compute paths support (used by the Trainer's check and by the eval
+    CLIs' fast-path eligibility — keep them from drifting)."""
+    from gcnbmp_tpu.models.packed import PACKED_ENCODERS
 
-    if args_fn is None:
-        args_fn = compact_coo_arrays
+    problems = []
+    if cfg.method not in PACKED_ENCODERS:
+        problems.append(
+            f"method={cfg.method!r} (only {'/'.join(PACKED_ENCODERS)})"
+        )
+    if cfg.compute_path == "fused" and cfg.method != "ggnn":
+        problems.append("fused Pallas kernel is GGNN-only")
+    if cfg.attn is not None and not allow_attn:
+        problems.append("co-attention (use compute_path='coo')")
+    if not cfg.siamese:
+        problems.append("siamese=False")
+    if cfg.symmetric is not None:
+        problems.append("symmetric")
+    if cfg.fp_dropout_rate > 0:
+        problems.append("dropout")
+    if cfg.fp_batch_normalization:
+        problems.append("batch normalization")
+    if cfg.concat_hidden or cfg.layer_aggregator:
+        problems.append("concat_hidden/layer_aggregator")
+    return problems
+
+
+def iter_coo_eval_batches(ds: PairDataset, batch_size: int, num_tiles: int,
+                          edge_capacity: int):
+    """Sequential fixed-shape COO batches for full-dataset evaluation:
+    yields (PackedCOOBatch, valid_count).  Tail batches are filled by
+    repeating the dataset's SMALLEST pair (packing.smallest_pair_index)
+    so the static capacity bounds computed for a worst-case full batch
+    always hold; callers drop rows past valid_count.  Uses the native
+    C++ packer when available (cached per dataset)."""
+    from gcnbmp_tpu.data import native_pack
+    from gcnbmp_tpu.data.packing import (
+        pack_pair_dataset_coo,
+        smallest_pair_index,
+    )
 
     cache = None
     if native_pack.native_pack_available():
@@ -372,13 +399,12 @@ def collect_logits_coo(
         if cache is None:
             cache = native_pack.PairDatasetCache(ds)
             ds._native_pack_cache = cache
-    logits_all: List[np.ndarray] = []
-    labels_all: List[np.ndarray] = []
+    fill = smallest_pair_index(ds)
     n = len(ds)
     for start in range(0, n, batch_size):
         idx = list(range(start, min(start + batch_size, n)))
         valid = len(idx)
-        idx = idx + [0] * (batch_size - valid)
+        idx = idx + [fill] * (batch_size - valid)
         if cache is not None:
             batch = native_pack.pack_pairs_native(
                 cache, idx, num_tiles=num_tiles, edge_capacity=edge_capacity
@@ -387,6 +413,26 @@ def collect_logits_coo(
             batch = pack_pair_dataset_coo(
                 ds, idx, num_tiles=num_tiles, edge_capacity=edge_capacity
             )
+        yield batch, valid
+
+
+def collect_logits_coo(
+    eval_fn, params, ds: PairDataset, batch_size: int, num_tiles: int,
+    edge_capacity: int, args_fn=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-dataset logits over the COO packed layout (fixed jit shapes
+    via iter_coo_eval_batches).  ``args_fn`` maps a PackedCOOBatch to the
+    predictor's positional args (default: the wire-compact encoding)."""
+    from gcnbmp_tpu.models.packed import compact_coo_arrays
+
+    if args_fn is None:
+        args_fn = compact_coo_arrays
+
+    logits_all: List[np.ndarray] = []
+    labels_all: List[np.ndarray] = []
+    for batch, valid in iter_coo_eval_batches(
+        ds, batch_size, num_tiles, edge_capacity
+    ):
         args = tuple(jnp.asarray(a) for a in args_fn(batch))
         out = eval_fn(params, args)
         labels = np.asarray(batch.labels)
@@ -593,20 +639,17 @@ class Trainer:
                 self._mesh = jax.sharding.Mesh(
                     _np.asarray(jax.devices()), ("graph",)
                 )
-                # static per-shard edge capacity: even share + 50%
-                # imbalance headroom (FFD packing balances tile loads;
-                # shard_packed_coo_batch raises if ever exceeded).
-                # self.edge_capacity is set right after this block.
+                # static per-shard edge capacity: the GLOBAL capacity
+                # (always sufficient — no data-dependent mid-training
+                # failure; edge arrays are small, so the extra masked
+                # scatter input is cheap relative to a ValueError hours
+                # into a run).  self.edge_capacity is set right after
+                # this dispatch block; the lambda reads it lazily.
                 n_dev = len(jax.devices())
                 self._shard_batch = lambda b: shard_packed_coo_batch(
                     b, self._mesh, axis="graph",
-                    edge_capacity_per_shard=min(
-                        ((self.edge_capacity + 127) // 128) * 128,
-                        max(
-                            (self.edge_capacity // n_dev * 3 // 2 + 127)
-                            // 128 * 128,
-                            2048,
-                        ),
+                    edge_capacity_per_shard=(
+                        ((self.edge_capacity + 127) // 128) * 128
                     ),
                 )
                 train_step = make_edgeshard_coo_train_step(
@@ -663,34 +706,14 @@ class Trainer:
             # safe static bounds over every dataset the jitted programs
             # will see (train batches are shuffled; eval batches are
             # sequential — both are covered by the worst-case batch)
-            from gcnbmp_tpu.data.packing import TILE, estimate_tiles
+            from gcnbmp_tpu.data.packing import estimate_coo_capacities
 
             eval_datasets = [self.train_ds]
             if self.val_ds is not None and len(self.val_ds):
                 eval_datasets.append(self.val_ds)
-            self.num_tiles = 0
-            self.edge_capacity = 0
-            for ds in eval_datasets:
-                sizes = sorted(
-                    [g.num_atoms for g in ds.graphs1]
-                    + [g.num_atoms for g in ds.graphs2],
-                    reverse=True,
-                )
-                worst = sizes[: 2 * cfg.batch_size]
-                self.num_tiles = max(
-                    self.num_tiles, estimate_tiles(worst, TILE, slack=1.0) + 1
-                )
-                per_pair = sorted(
-                    (
-                        ds.graphs1[i].num_edges + ds.graphs2[i].num_edges
-                        for i in range(len(ds))
-                    ),
-                    reverse=True,
-                )
-                cap = int(sum(per_pair[: cfg.batch_size]))
-                self.edge_capacity = max(
-                    self.edge_capacity, ((cap + 127) // 128) * 128 + 128
-                )
+            self.num_tiles, self.edge_capacity = estimate_coo_capacities(
+                eval_datasets, cfg.batch_size
+            )
             if coo:
                 from gcnbmp_tpu.models.packed import (
                     compact_coattn_arrays,
@@ -801,7 +824,13 @@ class Trainer:
                             jax.device_put(labels),
                             edges,
                         )
-                elif coo and not cfg.multi_device:
+                elif coo and cfg.multi_device:
+                    # run the host-side edge partitioning + sharded
+                    # device_puts on the prefetch thread so they overlap
+                    # with the device step (same rationale as below)
+                    def transfer(b):
+                        return (self._shard_batch(b), b.num_edges)
+                elif coo:
                     # stage host->device transfers on the prefetch thread so
                     # they overlap with the device step (through the axon
                     # relay a serialized transfer costs ~100 ms/step — 15x
@@ -831,10 +860,13 @@ class Trainer:
                     state.step += cfg.scan_steps
                     continue
                 if coo and cfg.multi_device:
-                    batch_edges = batch.num_edges
+                    if isinstance(batch, tuple):  # staged by the prefetcher
+                        sharded, batch_edges = batch
+                    else:
+                        sharded = self._shard_batch(batch)
+                        batch_edges = batch.num_edges
                     state.params, state.opt_state, loss = train_step(
-                        state.params, state.opt_state,
-                        *self._shard_batch(batch),
+                        state.params, state.opt_state, *sharded,
                     )
                 elif coo:
                     if isinstance(batch, tuple):  # staged by the prefetcher
@@ -967,32 +999,11 @@ class Trainer:
         return {"state": state, "log": self.log}
 
     def _check_packed_compatible(self, allow_attn: bool = False) -> None:
-        cfg = self.config
-        problems = []
-        from gcnbmp_tpu.models.packed import PACKED_ENCODERS
-
-        if cfg.method not in PACKED_ENCODERS:
-            problems.append(
-                f"method={cfg.method!r} (only {'/'.join(PACKED_ENCODERS)})"
-            )
-        if cfg.compute_path == "fused" and cfg.method != "ggnn":
-            problems.append("fused Pallas kernel is GGNN-only")
-        if cfg.attn is not None and not allow_attn:
-            problems.append("co-attention (use compute_path='coo')")
-        if not cfg.siamese:
-            problems.append("siamese=False")
-        if cfg.symmetric is not None:
-            problems.append("symmetric")
-        if cfg.fp_dropout_rate > 0:
-            problems.append("dropout")
-        if cfg.fp_batch_normalization:
-            problems.append("batch normalization")
-        if cfg.concat_hidden or cfg.layer_aggregator:
-            problems.append("concat_hidden/layer_aggregator")
+        problems = packed_config_problems(self.config, allow_attn=allow_attn)
         if problems:
             raise ValueError(
                 "compute_path='packed'/'coo'/'fused' supports the plain Siamese "
-                "GGNN configuration only; incompatible options: "
+                "GGNN/RelGCN/GIN configurations only; incompatible options: "
                 + ", ".join(problems)
             )
 

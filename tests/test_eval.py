@@ -119,6 +119,46 @@ def test_packed_evaluator_matches_padded(tmp_path, method, attn):
     assert packed.metrics["accuracy"] == padded.metrics["accuracy"]
 
 
+def test_packed_evaluator_large_first_pair_tail_batch(tmp_path):
+    """Regression: tail batches fill with the SMALLEST pair — a dataset
+    whose first pair is much larger than average must not overflow the
+    static tile/edge capacity when the row count is not a multiple of
+    the batch size."""
+    from gcnbmp_tpu.train import TrainConfig
+
+    f = GGNNFeaturizer()
+    big = "CC(C)Cc1ccc(cc1)C(C)C(=O)OCCOC(=O)c1ccccc1OC(=O)CCCCCCCC"
+    ds = PairDataset()
+    ds.append(f(mol_from_smiles(big)), f(mol_from_smiles(big)),
+              np.float32(1))
+    for i in range(9):
+        ds.append(f(mol_from_smiles("CCO")), f(mol_from_smiles("CO")),
+                  np.float32(i % 2))
+    pred = set_up_predictor(
+        method="ggnn", fp_hidden_dim=8, fp_out_dim=8, conv_layers=2,
+        sim_method="hole",
+    )
+    batch = make_batch(ds, [0, 1])
+    import jax.numpy as jnp
+
+    variables = pred.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch.atoms1), jnp.asarray(batch.adj1),
+        jnp.asarray(batch.atoms2), jnp.asarray(batch.adj2),
+        jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
+    )
+    cfg = TrainConfig(
+        method="ggnn", sim_method="hole", fp_hidden_dim=8, fp_out_dim=8,
+        conv_layers=2, compute_path="coo", batch_size=8,
+        out_dir=str(tmp_path / "run"),
+    )
+    padded = evaluate_dataset(pred, variables["params"], ds, batch_size=8)
+    packed = evaluate_dataset(pred, variables["params"], ds, batch_size=8,
+                              train_cfg=cfg)
+    np.testing.assert_allclose(packed.logits, padded.logits,
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_similarity_matrices():
     rng = np.random.default_rng(0)
     emb = np.abs(rng.normal(size=(5, 8)))
