@@ -35,6 +35,11 @@ def parse_args(argv=None):
                    choices=["gradient", "integrated", "bayes"],
                    help="also render saliency SVGs for the first pairs")
     p.add_argument("--saliency-count", type=int, default=4)
+    p.add_argument("--correlation-matrix", default=None,
+                   help="known-DDI drug-drug matrix CSV (columns = cids); "
+                        "also compute embedding-similarity vs shared-DDI "
+                        "correlation + scatter plot (reference "
+                        "result_analysis.py / correlation_all_*.png)")
     p.add_argument("--labels-csv", dest="labels_csv", default=None,
                    help="class-list CSV for multi-label runs (same file "
                         "given to train.py; enables ||-label parsing)")
@@ -118,6 +123,42 @@ def main(argv=None):
             out_path=os.path.join(out_dir, f"similarity_{args.similarity}.csv"),
         )
         logging.info("similarity matrix written")
+
+    if args.correlation_matrix:
+        import pandas as pd
+
+        from gcnbmp_tpu.eval.analysis import (
+            correlation_plot,
+            embedding_ddi_correlation,
+        )
+
+        mat_df = pd.read_csv(args.correlation_matrix)
+        cids = [str(c) for c in mat_df.columns]
+        mat = mat_df.to_numpy()
+        # per-drug embedding from the pair exports (cid columns when
+        # present, else drugbank ids)
+        test_df = pd.read_csv(args.test)
+        test_df = test_df[np.asarray(res.is_successful)].reset_index(drop=True)
+        emb = {}
+        for col, e in (("1", result.e1), ("2", result.e2)):
+            idcol = f"cid_{col}" if f"cid_{col}" in test_df.columns else f"drugbank_id_{col}"
+            for i, d in enumerate(test_df[idcol].astype(str)):
+                emb.setdefault(d, e[i])
+        keep = [i for i, d in enumerate(cids) if d in emb]
+        if len(keep) < 3:
+            raise SystemExit(
+                "--correlation-matrix: fewer than 3 matrix drugs appear "
+                "in the test CSV ids")
+        E = np.stack([emb[cids[i]] for i in keep])
+        sub = mat[np.ix_(keep, keep)]
+        corr, s, c = embedding_ddi_correlation(E, sub)
+        png = os.path.join(out_dir, f"correlation_all_{corr:.4f}.png")
+        correlation_plot(s, c, corr, png)
+        with open(os.path.join(out_dir, "correlation.json"), "w") as f:
+            json.dump({"pearson_correlation": corr, "n_drugs": len(keep)}, f,
+                      indent=2)
+        logging.info("correlation %.4f over %d drugs -> %s",
+                     corr, len(keep), png)
 
     if args.saliency:
         from gcnbmp_tpu.chem import mol_from_smiles

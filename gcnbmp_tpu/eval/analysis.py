@@ -50,3 +50,33 @@ def embedding_ddi_correlation(
         return float("nan"), s, c
     corr = float(np.corrcoef(s, c)[0, 1])
     return corr, s, c
+
+
+def correlation_plot(
+    sim_values: np.ndarray,
+    count_values: np.ndarray,
+    corr: float,
+    out_png: str,
+) -> None:
+    """Scatter of embedding similarity vs shared-interaction count with a
+    least-squares fit line — the reference's committed
+    correlation_all_0.7824.png artifact (result_analysis.py:27-349)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    s = np.asarray(sim_values, np.float64)
+    c = np.asarray(count_values, np.float64)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.scatter(c, s, s=4, alpha=0.15, linewidths=0, color="#3b6fb6")
+    if c.std() > 0:
+        slope, intercept = np.polyfit(c, s, 1)
+        xs = np.linspace(c.min(), c.max(), 100)
+        ax.plot(xs, slope * xs + intercept, color="#c0392b", linewidth=1.5)
+    ax.set_xlabel("shared interaction count")
+    ax.set_ylabel("embedding similarity")
+    ax.set_title(f"Pearson correlation = {corr:.4f}")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150)
+    plt.close(fig)

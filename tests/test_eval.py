@@ -173,6 +173,17 @@ def test_similarity_matrices():
     assert df.loc["a", "a"] == pytest.approx(1.0)
 
 
+def test_correlation_plot_writes_png(tmp_path):
+    from gcnbmp_tpu.eval.analysis import correlation_plot
+
+    rng = np.random.default_rng(0)
+    c = rng.integers(0, 20, 200).astype(float)
+    s = 0.03 * c + rng.normal(0, 0.1, 200)
+    out = str(tmp_path / "corr.png")
+    correlation_plot(s, c, 0.78, out)
+    assert os.path.getsize(out) > 1000
+
+
 def test_embedding_ddi_correlation_detects_structure():
     # two clusters: drugs with similar embeddings share interactions
     rng = np.random.default_rng(0)
