@@ -33,6 +33,7 @@ run () {  # run OUTDIR [train.py extra args...]
 }
 
 run ref_scale       --sim-method hole                 # flagship (DDI.md:6)
+run ref_scale_scan  --sim-method hole --scan-steps 10 # headline scan mode
 run ref_scale_alter --sim-method hole --attn alter    # RECORD.txt:201
 run ref_scale_para  --sim-method ntn  --attn para     # RECORD.txt:209
 run ref_scale_nie   --sim-method ntn  --attn nie      # RECORD.txt:250
