@@ -67,6 +67,22 @@ def test_coo_training_learns_relgcn_gin(tmp_path, method):
     assert log[-1]["train/roc_auc"] > 0.8
 
 
+def test_scan_mode_relgcn_learns(tmp_path):
+    """Scan mode is encoder-agnostic on the packed paths: RelGCN with
+    scan_steps=2 trains on the COO layout."""
+    cfg = TrainConfig(
+        method="relgcn", sim_method="hole", fp_hidden_dim=8, fp_out_dim=8,
+        conv_layers=2, batch_size=8, learning_rate=5e-3, epochs=8,
+        early_stop_patience=100, out_dir=str(tmp_path / "scan_relgcn"),
+        snapshot_interval=100, seed=0, compute_path="coo", scan_steps=2,
+        plot_reports=False, eval_train=True,
+    )
+    result = Trainer(cfg, _toy(), val_ds=_toy(seed=1)).fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert log[-1]["train/roc_auc"] > 0.8
+
+
 def test_coo_coattention_training_learns(tmp_path):
     """Co-attention rides the COO packed path end-to-end (train + eval)."""
     cfg = TrainConfig(
