@@ -71,11 +71,21 @@ def adj_from_coo(
     of the P*4*T*T dense tensor — the adjacency itself only ever exists in
     HBM.  No reference counterpart (its batching is host-side pad-to-max,
     chainer_chemistry concat_mols); TPU-first input path per SURVEY §7.1.
+
+    The scatter uses FLATTENED 1-D indices: XLA lowers a 1-D scatter-add
+    ~28x faster than the equivalent 4-D scatter on TPU (measured 2.1 ms
+    vs 58 ms standalone for 63k edges into (467,4,128,128)).  Flat
+    'drop' only drops indices beyond the whole array, so per-component
+    bounds (e.g. e_src >= tile) are NOT individually dropped — padding
+    edges are harmless regardless (mask 0 adds zero wherever it lands),
+    and malformed real edges are caught by coo_bounds_check / the host
+    batch validator.  Requires 4*num_tiles*tile^2 < 2^31 (the same
+    P < 2^15 bound as the compact wire encoding).
     """
-    adj = jnp.zeros((num_tiles, num_edge_types, tile, tile), dtype)
-    return adj.at[e_tile, e_type, e_src, e_dst].add(
-        e_mask.astype(dtype), mode="drop"
-    )
+    idx = ((e_tile * num_edge_types + e_type) * tile + e_src) * tile + e_dst
+    flat = jnp.zeros((num_tiles * num_edge_types * tile * tile,), dtype)
+    flat = flat.at[idx].add(e_mask.astype(dtype), mode="drop")
+    return flat.reshape(num_tiles, num_edge_types, tile, tile)
 
 
 def coo_bounds_check(
