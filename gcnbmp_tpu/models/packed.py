@@ -188,6 +188,58 @@ class PackedGIN(nn.Module):
         return g, {"atoms": h, "h0": h0}
 
 
+class PackedNFPReadout(nn.Module):
+    """Packed twin of NFPReadout (models/readouts.py:96-107): per-node
+    channel-softmax, masked; the molecule sum happens outside via
+    segment_sum.  Param name (output_weight) matches NFPReadout."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, h, node_mask):
+        i = GraphLinear(self.out_dim, name="output_weight")(h)
+        i = jax.nn.softmax(i, axis=-1)
+        return i * node_mask[..., None]
+
+
+class PackedNFP(nn.Module):
+    """NFP forward over packed tiles (reference models/models/nfp.py:15-179).
+
+    Reuses the padded NFPUpdate unchanged (degree-conditioned linears
+    over a plain adjacency are layout-agnostic; tiles are
+    block-diagonal, and self-connections are added for real slots only,
+    exactly as the padded module does under a mask).  The per-layer
+    readout accumulation becomes a per-layer segment-sum.  Param tree
+    matches models/nfp.NFP (embed, update_{i}/linear_d*,
+    readout_{i}/output_weight)."""
+
+    out_dim: int
+    hidden_dim: int = 16
+    n_layers: int = 4
+    max_degree: int = 6
+    n_atom_types: int = MAX_ATOMIC_NUM
+
+    @nn.compact
+    def __call__(self, atom_ids, adj, mol_id, node_mask, num_mols: int):
+        from gcnbmp_tpu.models.nfp import NFPUpdate
+
+        h = EmbedAtomID(self.n_atom_types, self.hidden_dim, name="embed")(atom_ids)
+        plain = jnp.clip(jnp.sum(adj, axis=1), 0.0, 1.0)
+        t = plain.shape[-1]
+        eye = jnp.eye(t, dtype=plain.dtype)[None]
+        plain = plain + eye * node_mask[:, :, None] * node_mask[:, None, :]
+        deg = jnp.sum(plain, axis=1).astype(jnp.int32)
+        g = 0.0
+        for step in range(self.n_layers):
+            h = NFPUpdate(self.hidden_dim, self.max_degree,
+                          name=f"update_{step}")(h, plain, deg)
+            per = PackedNFPReadout(self.out_dim, name=f"readout_{step}")(
+                h, node_mask
+            )
+            g = g + _segment_mol_sum(per, mol_id, num_mols)
+        return g, {"atoms": h, "h0": None}
+
+
 class PackedPairPredictor(nn.Module):
     """Pair predictor over the packed layout; parameter-compatible with
     PairPredictor(encoder=GGNN, head=...) for the Siamese, no-coattention
@@ -422,7 +474,7 @@ def fused_pair_logits(
     return predictor.head.apply({"params": params["head"]}, g1, g2)
 
 
-PACKED_ENCODERS = ("ggnn", "relgcn", "gin")
+PACKED_ENCODERS = ("ggnn", "relgcn", "gin", "nfp")
 
 
 def make_packed_predictor(
@@ -458,6 +510,11 @@ def make_packed_predictor(
         encoder = PackedGIN(
             out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
             weight_tying=weight_tying, name="encoder",
+        )
+    elif method == "nfp":
+        encoder = PackedNFP(
+            out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
+            name="encoder",
         )
     else:
         raise ValueError(
