@@ -83,7 +83,11 @@ class TrainConfig:
     eval_train: bool = True                   # per-epoch train-set metrics
                                               # (reference behavior; turn off
                                               # to halve per-epoch eval cost)
-    profile_epoch: Optional[int] = None       # jax.profiler trace this epoch
+    # jax.profiler trace this one epoch.  NOTE: with the axon remote-TPU
+    # plugin loaded, tracing adds seconds of profiler RPC per dispatch
+    # (measured ~6 s/op through the relay) — use on directly-attached
+    # devices or the CPU backend without the plugin.
+    profile_epoch: Optional[int] = None
     multi_device: bool = False                # graph-sharded training over
     #   all visible devices (parallel/edgeshard.py; the reference's
     #   --multi-gpu ParallelUpdater analog). compute_path='packed',

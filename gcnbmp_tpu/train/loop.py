@@ -775,6 +775,11 @@ class Trainer:
             # the reference has no tracing story at all)
             profiling = cfg.profile_epoch is not None and epoch == cfg.profile_epoch
             if profiling:
+                logging.warning(
+                    "profiling epoch %d: expect large per-dispatch overhead "
+                    "through a remote-TPU relay (see TrainConfig.profile_epoch)",
+                    epoch,
+                )
                 jax.profiler.start_trace(os.path.join(cfg.out_dir, "profile"))
             epoch_losses = []
             epoch_edges = 0
