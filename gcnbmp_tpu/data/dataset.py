@@ -56,6 +56,7 @@ class PaddedPairBatch:
     atom_feats2: Optional[np.ndarray] = None
     super1: Optional[np.ndarray] = None  # (B, F_s) supernode features (GWM)
     super2: Optional[np.ndarray] = None
+    n_edges: Optional[int] = None  # precomputed by make_batch
 
     @property
     def batch_size(self) -> int:
@@ -63,7 +64,11 @@ class PaddedPairBatch:
 
     @property
     def num_edges(self) -> int:
-        """Total directed edges in the batch (both molecules)."""
+        """Total directed edges in the batch (both molecules).
+        Precomputed from graph metadata at batch build (summing the
+        dense adjacency host-side costs ~10s of ms/step at B=2048)."""
+        if self.n_edges is not None:
+            return self.n_edges
         return int(self.adj1.sum() + self.adj2.sum())
 
 
@@ -241,6 +246,8 @@ def make_batch(
         atoms2=a2, adj2=adj2, mask2=m2,
         labels=labels, atom_feats1=f1, atom_feats2=f2,
         super1=s1, super2=s2,
+        n_edges=int(sum(g.num_edges for g in g1)
+                    + sum(g.num_edges for g in g2)),
     )
 
 

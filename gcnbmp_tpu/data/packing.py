@@ -45,6 +45,7 @@ class PackedGraphBatch:
     left_index: np.ndarray   # (B,) int32
     right_index: np.ndarray  # (B,) int32
     labels: np.ndarray       # (B,) or (B, C) float32
+    n_edges: Optional[int] = None  # precomputed by pack_graphs
 
     @property
     def num_tiles(self) -> int:
@@ -52,6 +53,10 @@ class PackedGraphBatch:
 
     @property
     def num_edges(self) -> int:
+        """Precomputed from graph metadata (summing the dense adjacency
+        host-side costs ~10s of ms at B=2048 — too slow per step)."""
+        if self.n_edges is not None:
+            return self.n_edges
         return int(self.adj.sum())
 
     @property
@@ -133,6 +138,7 @@ def pack_graphs(
         atom_ids=atom_ids, adj=adj, mol_id=mol_id, node_mask=node_mask,
         num_mols=n_mols, left_index=left, right_index=right,
         labels=np.asarray(labels, np.float32),
+        n_edges=int(sum(g.num_edges for g in graphs)),
     )
 
 
@@ -160,26 +166,46 @@ def estimate_tiles(sizes: Sequence[int], tile: int = TILE, slack: float = 1.1) -
 def estimate_coo_capacities(datasets, batch_size: int, tile: int = TILE):
     """Static (num_tiles, edge_capacity) bounds covering every
     ``batch_size``-pair batch drawn from any of ``datasets`` — shuffled
-    train batches and sequential eval batches alike.  Tail batches are
-    covered provided their fill row is the smallest pair
-    (``smallest_pair_index``): repeating it is dominated by the
-    worst-case full batch these bounds are computed from."""
+    train batches and sequential eval batches alike.
+
+    The tile bound runs the REAL first-fit-decreasing packer on the
+    worst-case batch (the largest ``2*batch_size`` molecules) rather
+    than an occupancy estimate: bin-packing fragmentation makes the
+    occupancy bound unsound (e.g. uniform 43-atom molecules pack 2 per
+    128-slot tile, 33% waste).  Both bounds are still taken, +1 margin.
+
+    When a dataset has fewer pairs than ``batch_size``, eval tail
+    batches repeat the smallest pair (iter_coo_eval_batches) — the fill
+    copies are added to the worst-case batch here so the bounds cover
+    them too."""
     num_tiles = 0
     edge_capacity = 0
     for ds in datasets:
+        n = len(ds)
+        if n == 0:
+            continue
+        k = min(batch_size, n)
+        fill = batch_size - k
         sizes = sorted(
             [g.num_atoms for g in ds.graphs1]
             + [g.num_atoms for g in ds.graphs2],
             reverse=True,
         )
-        worst = sizes[: 2 * batch_size]
-        num_tiles = max(num_tiles, estimate_tiles(worst, tile, slack=1.0) + 1)
+        worst = list(sizes[: 2 * k])
         per_pair = sorted(
             (ds.graphs1[i].num_edges + ds.graphs2[i].num_edges
-             for i in range(len(ds))),
+             for i in range(n)),
             reverse=True,
         )
-        cap = int(sum(per_pair[:batch_size]))
+        cap = int(sum(per_pair[:k]))
+        if fill > 0:
+            i = smallest_pair_index(ds)
+            worst += [ds.graphs1[i].num_atoms,
+                      ds.graphs2[i].num_atoms] * fill
+            cap += fill * (ds.graphs1[i].num_edges + ds.graphs2[i].num_edges)
+        ffd_tiles = len(_first_fit_pack(worst, tile))
+        occ_tiles = estimate_tiles(worst, tile, slack=1.0)
+        num_tiles = max(num_tiles, max(ffd_tiles, occ_tiles) + 1)
         edge_capacity = max(edge_capacity, ((cap + 127) // 128) * 128 + 128)
     return num_tiles, edge_capacity
 
@@ -399,15 +425,3 @@ def molecule_slot_table(
     return slots, mask
 
 
-def estimate_edge_capacity(ds, batch_size: int, tile: int = TILE,
-                           slack: float = 1.15) -> int:
-    """Upper-bound directed-edge count per packed batch of ``batch_size``
-    pairs, for fixed COO shapes across shuffled batches."""
-    per_pair = [
-        ds.graphs1[i].num_edges + ds.graphs2[i].num_edges
-        for i in range(len(ds))
-    ]
-    mean = float(np.mean(per_pair)) if per_pair else 0.0
-    peak = float(np.max(per_pair)) if per_pair else 0.0
-    est = mean * batch_size * slack + peak
-    return int(np.ceil(est / 128.0) * 128) + 128

@@ -58,6 +58,10 @@ class CSVPairParser:
         self._default_featurizer = self.featurizer is None
         if self.featurizer is None:
             self.featurizer = GGNNFeaturizer()
+        self._cls_index = (
+            {c: i for i, c in enumerate(self.multi_label_classes)}
+            if self.multi_label_classes is not None else None
+        )
 
     def _native_graphs(self, df, c1, c2):
         """Batch-parse all SMILES with the native library (the reference's
@@ -77,7 +81,7 @@ class CSVPairParser:
 
     def _parse_label(self, row) -> np.ndarray:
         if self.multi_label_classes is not None:
-            cls_index = {c: i for i, c in enumerate(self.multi_label_classes)}
+            cls_index = self._cls_index
             vec = np.zeros((len(cls_index),), dtype=np.float32)
             raw = str(row[self.labels[0]])
             for part in raw.split(self.label_delimiter):
@@ -98,15 +102,28 @@ class CSVPairParser:
         fail = 0
         c1, c2 = self.smiles_cols
         native = self._native_graphs(df, c1, c2)
-        for i, (_, row) in enumerate(df.iterrows()):
-            if native is not None:
+        if native is not None:
+            # fast path: graphs already batch-parsed; extract the label
+            # columns once as plain lists instead of pandas iterrows
+            # (per-row Series construction dominates at ~1M-row scale)
+            label_cols = {c: df[c].tolist() for c in self.labels}
+            for i in range(len(df)):
                 g1, g2 = native[0][i], native[1][i]
                 if g1 is None or g2 is None:
                     fail += 1
                     continue
+                row = {c: label_cols[c][i] for c in self.labels}
                 ds.append(g1, g2, self._parse_label(row))
                 ok[i] = True
-                continue
+            if fail:
+                logger.info(
+                    "skipped %d/%d unparseable pair rows", fail, len(df)
+                )
+            return ParseResult(
+                dataset=ds, is_successful=ok, fail_count=fail,
+                total_count=len(df),
+            )
+        for i, (_, row) in enumerate(df.iterrows()):
             smi1, smi2 = str(row[c1]), str(row[c2])
             m1 = mol_from_smiles(smi1)
             m2 = mol_from_smiles(smi2)
@@ -158,13 +175,39 @@ class CachedPairDataset:
         self.csv_path = csv_path
         self.cache_path = cache_path or csv_path + ".cache.pkl"
         self.parser = parser or CSVPairParser()
-        if os.path.exists(self.cache_path):
+        fingerprint = self._fingerprint()
+        meta_path = self.cache_path + ".meta"
+        cached_fp = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                cached_fp = f.read().strip()
+        if os.path.exists(self.cache_path) and cached_fp == fingerprint:
             self.dataset = PairDataset.load(self.cache_path)
             self.from_cache = True
         else:
+            if os.path.exists(self.cache_path):
+                logger.info(
+                    "cache stale (CSV mtime or parser config changed); "
+                    "re-parsing %s", csv_path,
+                )
             self.dataset = self.parser.parse(csv_path).dataset
             self.dataset.save(self.cache_path)
+            with open(meta_path, "w") as f:
+                f.write(fingerprint)
             self.from_cache = False
+
+    def _fingerprint(self) -> str:
+        """CSV mtime+size plus the parser configuration — a stale or
+        differently-parsed cache is re-built instead of silently
+        reused."""
+        import os
+
+        st = os.stat(self.csv_path)
+        p = self.parser
+        cfg = (tuple(p.labels), tuple(p.smiles_cols),
+               tuple(p.multi_label_classes) if p.multi_label_classes else None,
+               p.label_delimiter, p._default_featurizer)
+        return f"{st.st_mtime_ns}:{st.st_size}:{cfg!r}"
 
     @property
     def data_list(self):  # reference-compatible accessor

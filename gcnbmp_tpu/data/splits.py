@@ -156,7 +156,17 @@ def scaffold_split_by_drug(
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     """Scaffold-grouped drug split: whole scaffold groups go to one fold,
     largest groups first into train (reference:
-    scaffold_split_based_drug, data_generator.py:331-433)."""
+    scaffold_split_based_drug, data_generator.py:331-433).
+
+    ``frac_test`` is implicit (test = drugs fitting neither the train
+    nor the valid quota) and only validated against the other two
+    fractions; because whole scaffold groups are indivisible, realized
+    fold sizes can deviate from the requested fractions."""
+    if abs(frac_train + frac_valid + frac_test - 1.0) > 1e-6:
+        raise ValueError(
+            f"fractions must sum to 1, got "
+            f"{frac_train}+{frac_valid}+{frac_test}"
+        )
     groups: Dict[str, List] = {}
     for d in drug_ids:
         key = murcko_scaffold_key(str(smiles_by_id[d]))

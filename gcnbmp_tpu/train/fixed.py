@@ -93,6 +93,9 @@ def train_fixed_embedding_head(
 
     np_rng = np.random.default_rng(seed)
     n = len(labels)
+    # datasets smaller than batch_size would otherwise train ZERO steps
+    # (and leave `loss` unbound below)
+    batch_size = min(batch_size, n)
     losses = []
     for _ in range(epochs):
         order = np_rng.permutation(n)

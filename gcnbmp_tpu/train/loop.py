@@ -182,13 +182,12 @@ def make_train_step(predictor, optimizer, class_num: int = 1,
     return step_fn
 
 
-def make_packed_train_step(predictor, packed_predictor, optimizer,
+def make_packed_train_step(packed_predictor, optimizer,
                            class_num: int = 1,
                            loss: Callable = sigmoid_cross_entropy,
                            fused: bool = False):
-    """Train step over the packed supergraph layout (data/packing.py).
-    ``packed_predictor`` must be parameter-compatible with ``predictor``
-    (models/packed.py); ``fused`` routes through the Pallas kernel."""
+    """Train step over the packed supergraph layout (data/packing.py);
+    ``fused`` routes through the Pallas kernel."""
 
     def loss_fn(params, atom_ids, adj, mol_id, node_mask, left, right, labels):
         if fused:
@@ -699,7 +698,7 @@ class Trainer:
                 )
             else:
                 train_step = make_packed_train_step(
-                    self.predictor, packed_predictor, self.optimizer,
+                    packed_predictor, self.optimizer,
                     cfg.class_num, self.loss_fn,
                     fused=cfg.compute_path == "fused",
                 )
@@ -746,9 +745,13 @@ class Trainer:
 
             def run_eval(ds):
                 # multi_device params live replicated on the mesh; pull
-                # them host-side for the single-device eval jit
-                p = (jax.device_get(state.params) if cfg.multi_device
-                     else state.params)
+                # them host-side ONCE and stage on the default device so
+                # per-batch eval calls don't re-transfer the tree
+                p = state.params
+                if cfg.multi_device:
+                    p = jax.device_put(
+                        jax.device_get(state.params), jax.devices()[0]
+                    )
                 return collect_logits_coo(
                     eval_step_coo, p, ds, cfg.batch_size,
                     self.num_tiles, self.edge_capacity, args_fn=coo_args_fn,
@@ -758,9 +761,13 @@ class Trainer:
 
             def run_eval(ds):
                 # multi_device params live replicated on the mesh; pull
-                # them host-side for the single-device eval jit
-                p = (jax.device_get(state.params) if cfg.multi_device
-                     else state.params)
+                # them host-side ONCE and stage on the default device so
+                # per-batch eval calls don't re-transfer the tree
+                p = state.params
+                if cfg.multi_device:
+                    p = jax.device_put(
+                        jax.device_get(state.params), jax.devices()[0]
+                    )
                 return collect_logits(
                     eval_step, p, ds, cfg.batch_size,
                     self.pad_to, supernode_fn=self.supernode_fn,
@@ -900,7 +907,8 @@ class Trainer:
                     state.params, state.opt_state, loss, _ = train_step(
                         state.params, state.opt_state,
                         jnp.asarray(batch.atom_ids),
-                        jnp.asarray(batch.adj).astype(adj_dtype),
+                        # cast HOST-side so bf16 actually halves the transfer
+                        jnp.asarray(np.asarray(batch.adj, adj_dtype)),
                         jnp.asarray(batch.mol_id), jnp.asarray(batch.node_mask),
                         jnp.asarray(batch.left_index),
                         jnp.asarray(batch.right_index),

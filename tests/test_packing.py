@@ -68,6 +68,42 @@ def test_packing_invariants():
     )
 
 
+def test_estimate_coo_capacities_covers_fragmentation():
+    """Regression: molecules that pack 2-per-tile with 33% slot waste
+    (e.g. ~43 atoms) must not overflow the estimated tile bound — the
+    bound runs the real FFD packer, not an occupancy estimate."""
+    from gcnbmp_tpu.chem.featurize import MolGraph
+    from gcnbmp_tpu.data.packing import (
+        estimate_coo_capacities,
+        pack_pair_dataset_coo,
+    )
+
+    def mol(n):  # path graph with n atoms
+        src = np.arange(n - 1, dtype=np.int32)
+        return MolGraph(
+            atom_ids=np.full((n,), 6, np.int32),
+            edge_src=np.concatenate([src, src + 1]),
+            edge_dst=np.concatenate([src + 1, src]),
+            edge_type=np.zeros((2 * (n - 1),), np.int32),
+        )
+
+    ds = PairDataset()
+    for _ in range(16):
+        ds.append(mol(43), mol(43), np.float32(1))
+    num_tiles, edge_capacity = estimate_coo_capacities([ds], 16)
+    # must not raise (the occupancy bound alone would give too few tiles)
+    pack_pair_dataset_coo(ds, list(range(16)), num_tiles=num_tiles,
+                          edge_capacity=edge_capacity)
+
+    # fill-covered tail: dataset smaller than the batch size
+    small = PairDataset()
+    for _ in range(3):
+        small.append(mol(43), mol(43), np.float32(1))
+    nt, ec = estimate_coo_capacities([small], 16)
+    idx = [0, 1, 2] + [0] * 13  # 13 fill copies
+    pack_pair_dataset_coo(small, idx, num_tiles=nt, edge_capacity=ec)
+
+
 def test_estimate_tiles_fixed_shape():
     ds = _dataset()
     sizes = [g.num_atoms for g in ds.graphs1] + [g.num_atoms for g in ds.graphs2]
