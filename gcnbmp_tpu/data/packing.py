@@ -10,9 +10,9 @@ MXU's native dimension.  A batch becomes:
     mol_id    (P, 128)  int32   molecule index per slot (pads -> num_mols)
     node_mask (P, 128)  f32
 
-Molecules never split across tiles, so flattened mol_id is sorted —
-per-molecule readout is a sorted segment_sum, which XLA lowers
-efficiently on TPU.  Message passing is one (128, 512) x (512, H) MXU
+Molecules never split across tiles; mol_id ascends within each tile
+(padding slots carry num_mols) and per-molecule readout is one
+segment_sum, which XLA lowers efficiently on TPU.  Message passing is one (128, 512) x (512, H) MXU
 matmul per tile (see ops/aggregate.py) with ~90+% real-atom occupancy vs
 ~25-55% for pad-to-max batches of drug-sized molecules.
 

@@ -25,18 +25,22 @@ from gcnbmp_tpu.models.predictor import PairPredictor, set_up_predictor
 
 def _build_ggnn(name, out_dim, hidden_dim, n_layers, concat_hidden,
                 layer_aggregator, dropout_rate, batch_normalization,
-                weight_tying):
+                weight_tying, attention=False, update_attention=False,
+                context=False):
     return GGNN(
         out_dim=out_dim, hidden_dim=hidden_dim, n_layers=n_layers,
         concat_hidden=concat_hidden, layer_aggregator=layer_aggregator,
         dropout_rate=dropout_rate, batch_normalization=batch_normalization,
-        weight_tying=weight_tying, name=name,
+        weight_tying=weight_tying, use_attention=bool(attention),
+        update_attention=bool(update_attention), context=bool(context),
+        name=name,
     )
 
 
 def _build_relgcn(name, out_dim, hidden_dim, n_layers, concat_hidden,
                   layer_aggregator, dropout_rate, batch_normalization,
-                  weight_tying):
+                  weight_tying, **attn_opts):
+    _reject_attention_opts("relgcn", attn_opts)
     return RelGCN(
         out_dim=out_dim, hidden_dim=hidden_dim, n_layers=n_layers, name=name,
     )
@@ -44,7 +48,8 @@ def _build_relgcn(name, out_dim, hidden_dim, n_layers, concat_hidden,
 
 def _build_gin(name, out_dim, hidden_dim, n_layers, concat_hidden,
                layer_aggregator, dropout_rate, batch_normalization,
-               weight_tying):
+               weight_tying, **attn_opts):
+    _reject_attention_opts("gin", attn_opts)
     return GIN(
         out_dim=out_dim, hidden_dim=hidden_dim, n_layers=n_layers,
         dropout_ratio=dropout_rate, concat_hidden=concat_hidden,
@@ -54,7 +59,8 @@ def _build_gin(name, out_dim, hidden_dim, n_layers, concat_hidden,
 
 def _build_mpnn(name, out_dim, hidden_dim, n_layers, concat_hidden,
                 layer_aggregator, dropout_rate, batch_normalization,
-                weight_tying):
+                weight_tying, **attn_opts):
+    _reject_attention_opts("mpnn", attn_opts)
     return MPNN(
         out_dim=out_dim, hidden_dim=hidden_dim, n_layers=n_layers,
         concat_hidden=concat_hidden, weight_tying=weight_tying, name=name,
@@ -63,17 +69,28 @@ def _build_mpnn(name, out_dim, hidden_dim, n_layers, concat_hidden,
 
 def _build_nfp(name, out_dim, hidden_dim, n_layers, concat_hidden,
                layer_aggregator, dropout_rate, batch_normalization,
-               weight_tying):
+               weight_tying, **attn_opts):
+    _reject_attention_opts("nfp", attn_opts)
     return NFP(
         out_dim=out_dim, hidden_dim=hidden_dim, n_layers=n_layers,
         concat_hidden=concat_hidden, name=name,
     )
 
 
+def _reject_attention_opts(method, opts):
+    bad = [k for k, v in opts.items() if v]
+    if bad:
+        raise ValueError(
+            f"encoder {method!r} does not support {bad} "
+            "(GGNN-only options)"
+        )
+
+
 def _build_ggnn_dev(variant):
     def build(name, out_dim, hidden_dim, n_layers, concat_hidden,
               layer_aggregator, dropout_rate, batch_normalization,
-              weight_tying):
+              weight_tying, **attn_opts):
+        _reject_attention_opts(f"ggnn-dev ({variant})", attn_opts)
         from gcnbmp_tpu.models.ggnn_dev import GGNNDev
 
         return GGNNDev(

@@ -3,7 +3,7 @@ GGNN so trained weights swap freely between the two layouts.
 
 Consumes PackedGraphBatch arrays (data/packing.py): tiles of 128 atoms
 holding several molecules each.  Message passing runs per tile on the
-MXU; the gated readout becomes a sorted segment-sum over molecule ids.
+MXU; the gated readout becomes a segment-sum over molecule ids.
 Parameter tree matches models/ggnn.py exactly: embed, update_i/message/
 dense, gru/{W,U,...}, readout_0/{i,j}.
 """
@@ -65,11 +65,17 @@ class PackedCommonReadout(nn.Module):
 
 def _segment_mol_sum(g_nodes, mol_id, num_mols: int):
     """Sum per-node readout values into per-molecule embeddings.  Padding
-    slots carry mol_id == num_mols and fall into the discarded segment."""
+    slots carry mol_id == num_mols and fall into the discarded segment.
+
+    No ``indices_are_sorted`` hint: flattened mol_id is NOT globally
+    sorted (each tile's trailing padding slots carry num_mols, then the
+    next tile restarts lower), so the hint would be implementation-
+    defined — and the unsorted lowering measures FASTER on the v5e
+    anyway (1.23 vs 1.45 ms standalone at B=2048)."""
     flat = g_nodes.reshape(-1, g_nodes.shape[-1])
     ids = mol_id.reshape(-1)
     return jax.ops.segment_sum(
-        flat, ids, num_segments=num_mols + 1, indices_are_sorted=True
+        flat, ids, num_segments=num_mols + 1
     )[:num_mols]
 
 
@@ -109,11 +115,7 @@ class PackedGGNN(nn.Module):
             gru_state = gru(gru_state, x)
             h = gru_state
         g_nodes = PackedGatedReadout(self.out_dim, name="readout_0")(h, h0, node_mask)
-        flat = g_nodes.reshape(-1, self.out_dim)
-        ids = mol_id.reshape(-1)
-        g = jax.ops.segment_sum(
-            flat, ids, num_segments=num_mols + 1, indices_are_sorted=True
-        )[:num_mols]
+        g = _segment_mol_sum(g_nodes, mol_id, num_mols)
         return g, {"atoms": h, "h0": h0}
 
 
@@ -302,6 +304,27 @@ def coo_batch_args(batch) -> Tuple:
     )
 
 
+def decode_compact_wire(nodes, e_packed, n_edges, num_mols: int):
+    """Decode the wire-compact batch encoding (compact_coo_arrays) into
+    (atom_ids, mol_id, node_mask, e_tile, e_type, e_src, e_dst, e_mask).
+    Single-sourced: the bit layout must match compact_coo_arrays.  Lane
+    masks use (1 << sbits) - 1 — masking with (t - 1) is only correct
+    for power-of-two tile sizes."""
+    atom_ids, mol_id = nodes[0], nodes[1]
+    t = atom_ids.shape[1]
+    sbits = int(t - 1).bit_length()
+    lane = (1 << sbits) - 1
+    node_mask = (mol_id < num_mols).astype(jnp.float32)
+    e_dst = e_packed & lane
+    e_src = (e_packed >> sbits) & lane
+    e_type = (e_packed >> (2 * sbits)) & 3
+    e_tile = e_packed >> (2 * sbits + 2)
+    e_mask = (
+        jnp.arange(e_packed.shape[0], dtype=n_edges.dtype) < n_edges
+    ).astype(jnp.float32)
+    return atom_ids, mol_id, node_mask, e_tile, e_type, e_src, e_dst, e_mask
+
+
 class PackedPairPredictorCOOCompact(nn.Module):
     """PackedPairPredictorCOO taking the wire-compact batch encoding
     (compact_coo_arrays): one (2, P, T) node array, one bit-packed int32
@@ -320,18 +343,10 @@ class PackedPairPredictorCOOCompact(nn.Module):
                  return_g: bool = False):
         from gcnbmp_tpu.ops.aggregate import adj_from_coo
 
-        atom_ids, mol_id = nodes[0], nodes[1]
-        p, t = atom_ids.shape
-        sbits = int(t - 1).bit_length()
         num_mols = 2 * left_index.shape[0]
-        node_mask = (mol_id < num_mols).astype(jnp.float32)
-        e_dst = e_packed & (t - 1)
-        e_src = (e_packed >> sbits) & (t - 1)
-        e_type = (e_packed >> (2 * sbits)) & 3
-        e_tile = e_packed >> (2 * sbits + 2)
-        e_mask = (
-            jnp.arange(e_packed.shape[0], dtype=n_edges.dtype) < n_edges
-        ).astype(jnp.float32)
+        (atom_ids, mol_id, node_mask, e_tile, e_type, e_src, e_dst,
+         e_mask) = decode_compact_wire(nodes, e_packed, n_edges, num_mols)
+        p, t = atom_ids.shape
         adj = adj_from_coo(
             e_tile, e_type, e_src, e_dst, e_mask, num_tiles=p, tile=t,
             dtype=self.adj_dtype,
@@ -367,18 +382,10 @@ class PackedCoattnPairPredictor(nn.Module):
                  return_g: bool = False):
         from gcnbmp_tpu.ops.aggregate import adj_from_coo
 
-        atom_ids, mol_id = nodes[0], nodes[1]
-        p, t = atom_ids.shape
-        sbits = int(t - 1).bit_length()
         num_mols = 2 * left_index.shape[0]
-        node_mask = (mol_id < num_mols).astype(jnp.float32)
-        e_dst = e_packed & (t - 1)
-        e_src = (e_packed >> sbits) & (t - 1)
-        e_type = (e_packed >> (2 * sbits)) & 3
-        e_tile = e_packed >> (2 * sbits + 2)
-        e_mask = (
-            jnp.arange(e_packed.shape[0], dtype=n_edges.dtype) < n_edges
-        ).astype(jnp.float32)
+        (atom_ids, mol_id, node_mask, e_tile, e_type, e_src, e_dst,
+         e_mask) = decode_compact_wire(nodes, e_packed, n_edges, num_mols)
+        p, t = atom_ids.shape
         adj = adj_from_coo(
             e_tile, e_type, e_src, e_dst, e_mask, num_tiles=p, tile=t,
             dtype=self.adj_dtype,
@@ -464,11 +471,7 @@ def fused_pair_logits(
     g_nodes = gate * (h @ ro["j"]["dense"]["kernel"] + ro["j"]["dense"]["bias"])
     g_nodes = g_nodes * node_mask[..., None]
     num_mols = 2 * left_index.shape[0]
-    flat = g_nodes.reshape(-1, enc.out_dim)
-    ids = mol_id.reshape(-1)
-    g = jax.ops.segment_sum(
-        flat, ids, num_segments=num_mols + 1, indices_are_sorted=True
-    )[:num_mols]
+    g = _segment_mol_sum(g_nodes, mol_id, num_mols)
     g1 = jnp.take(g, left_index, axis=0)
     g2 = jnp.take(g, right_index, axis=0)
     return predictor.head.apply({"params": params["head"]}, g1, g2)

@@ -261,6 +261,12 @@ def set_up_predictor(
             dropout_rate=fp_dropout_rate,
             batch_normalization=fp_batch_normalization,
             weight_tying=weight_tying,
+            # GGNN-only research options (reference --attention /
+            # --update-attention / --context flags); non-GGNN encoders
+            # raise instead of silently ignoring them
+            attention=attention,
+            update_attention=update_attention,
+            context=context,
         )
 
     if sim_method not in HEADS:

@@ -25,8 +25,9 @@ def _param_spec(path: Tuple, leaf, model_axis_ok: bool) -> P:
     """Choose a PartitionSpec for one parameter leaf.
 
     Shard the output (last) axis of large kernels over 'model': the GGNN
-    message GraphLinear (H -> 4H) and any Dense kernel wider than 128.
-    Biases and small kernels replicate.
+    message GraphLinear (H -> 4H) and any Dense kernel with output width
+    >= 256.  Biases and smaller kernels replicate (a lane-width shard of
+    a <256 output would leave sublane-sized pieces per device).
     """
     if not model_axis_ok:
         return P()

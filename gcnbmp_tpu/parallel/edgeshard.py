@@ -30,6 +30,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gcnbmp_tpu.models.packed import PackedPairPredictor
 
 
+def _local_shard_loss(predictor, axis, n_dev, params, atom_ids, adj,
+                      mol_id, node_mask, left, right, labels):
+    """The shared per-device body of both edgeshard losses (dense and
+    COO): local tile compute (no cross-device edges by construction),
+    one psum to complete the molecule table, local pair scoring, and
+    the global element-mean sigmoid CE via two scalar psums (labels < 0
+    ignored, matching train.loop.sigmoid_cross_entropy; multi-hot
+    labels supported)."""
+    num_mols = 2 * left.shape[0] * n_dev
+    g_local, _ = predictor.encoder.apply(
+        {"params": params["encoder"]},
+        atom_ids, adj, mol_id, node_mask, num_mols,
+    )
+    g = jax.lax.psum(g_local, axis)  # (num_mols, D), replicated
+    g1 = jnp.take(g, left, axis=0)
+    g2 = jnp.take(g, right, axis=0)
+    logits = predictor.head.apply({"params": params["head"]}, g1, g2)
+    logits = jnp.reshape(logits, labels.shape)
+    per = optax.sigmoid_binary_cross_entropy(logits, labels)
+    valid = (labels >= 0).astype(per.dtype)
+    total = jax.lax.psum(jnp.sum(per * valid), axis)
+    count = jax.lax.psum(jnp.sum(valid), axis)
+    return total / jnp.maximum(count, 1.0)
+
+
 def make_edgeshard_loss(
     predictor: PackedPairPredictor,
     mesh: Mesh,
@@ -42,31 +67,13 @@ def make_edgeshard_loss(
     mol_id must contain GLOBAL molecule ids (the packed batch as built
     by pack_pair_dataset_batch; tiles are simply split across devices).
     """
-    enc = predictor.encoder
     n_dev = mesh.shape[axis]
 
     def local_loss(params, atom_ids, adj, mol_id, node_mask, left, right, labels):
-        # ---- local tile compute (no cross-device edges by construction);
-        # reuse the packed encoder apply on the local tile shard
-        num_mols = 2 * left.shape[0] * n_dev
-        g_local, _ = enc.apply(
-            {"params": params["encoder"]},
-            atom_ids, adj, mol_id, node_mask, num_mols,
+        return _local_shard_loss(
+            predictor, axis, n_dev, params, atom_ids, adj, mol_id,
+            node_mask, left, right, labels,
         )
-        # ---- one ICI collective: complete the molecule embedding table
-        g = jax.lax.psum(g_local, axis)  # (num_mols, D), replicated
-        # ---- local pair subset scoring
-        g1 = jnp.take(g, left, axis=0)
-        g2 = jnp.take(g, right, axis=0)
-        logits = predictor.head.apply({"params": params["head"]}, g1, g2)
-        logits = jnp.reshape(logits, labels.shape)
-        per = optax.sigmoid_binary_cross_entropy(logits, labels)
-        valid = (labels >= 0).astype(per.dtype)
-        local_sum = jnp.sum(per * valid)
-        local_cnt = jnp.sum(valid)
-        total = jax.lax.psum(local_sum, axis)
-        count = jax.lax.psum(local_cnt, axis)
-        return total / jnp.maximum(count, 1.0)
 
     in_specs = (
         P(),            # params (replicated)
@@ -121,7 +128,6 @@ def make_edgeshard_coo_loss(
     Supports multi-hot labels (B, C) — the loss is the global
     element-mean sigmoid CE with labels < 0 ignored, matching
     train.loop.sigmoid_cross_entropy."""
-    enc = predictor.encoder
     n_dev = mesh.shape[axis]
 
     def local_loss(params, atom_ids, e_tile, e_type, e_src, e_dst, e_mask,
@@ -132,21 +138,10 @@ def make_edgeshard_coo_loss(
         adj = adj_from_coo(
             e_tile, e_type, e_src, e_dst, e_mask, num_tiles=p_local, tile=t
         )
-        num_mols = 2 * left.shape[0] * n_dev
-        g_local, _ = enc.apply(
-            {"params": params["encoder"]},
-            atom_ids, adj, mol_id, node_mask, num_mols,
+        return _local_shard_loss(
+            predictor, axis, n_dev, params, atom_ids, adj, mol_id,
+            node_mask, left, right, labels,
         )
-        g = jax.lax.psum(g_local, axis)
-        g1 = jnp.take(g, left, axis=0)
-        g2 = jnp.take(g, right, axis=0)
-        logits = predictor.head.apply({"params": params["head"]}, g1, g2)
-        logits = jnp.reshape(logits, labels.shape)
-        per = optax.sigmoid_binary_cross_entropy(logits, labels)
-        valid = (labels >= 0).astype(per.dtype)
-        total = jax.lax.psum(jnp.sum(per * valid), axis)
-        count = jax.lax.psum(jnp.sum(valid), axis)
-        return total / jnp.maximum(count, 1.0)
 
     in_specs = (
         P(),            # params (replicated)

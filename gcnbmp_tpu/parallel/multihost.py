@@ -30,11 +30,11 @@ def initialize_multihost(
     all arguments are discovered from the environment)."""
     kwargs = {}
     if coordinator_address is not None:
-        kwargs = dict(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
 
 

@@ -192,6 +192,30 @@ def test_packed_padded_parity_relgcn_gin():
         )
 
 
+def test_compact_wire_decode_non_power_of_two_tile():
+    """Regression: the compact wire decode masks src/dst with the full
+    sbits-wide lane, not (tile-1) — they differ for non-power-of-two
+    tile sizes (e.g. 100 -> lane 127 vs 99)."""
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+    from gcnbmp_tpu.models.packed import (
+        compact_coo_arrays,
+        coo_batch_args,
+    )
+
+    ds = _dataset()
+    coo = pack_pair_dataset_coo(ds, list(range(len(ds))), tile=100)
+    plain = make_packed_predictor(fp_hidden_dim=8, fp_out_dim=8,
+                                  conv_layers=2, coo=True)
+    compact = make_packed_predictor(fp_hidden_dim=8, fp_out_dim=8,
+                                    conv_layers=2, coo=True, compact=True)
+    args_plain = tuple(jnp.asarray(a) for a in coo_batch_args(coo))
+    v = plain.init(jax.random.PRNGKey(0), *args_plain)
+    l1 = plain.apply(v, *args_plain)
+    args_compact = tuple(jnp.asarray(a) for a in compact_coo_arrays(coo))
+    l2 = compact.apply(v, *args_compact)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-5)
+
+
 def test_packed_grads_finite():
     ds = _dataset()
     packed = pack_pair_dataset_batch(ds, list(range(len(ds))))
