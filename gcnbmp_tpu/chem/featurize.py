@@ -217,6 +217,11 @@ def drugfp_atom_features(mol: Mol, idx: int) -> np.ndarray:
 
 
 def _ring_bond_set(mol: Mol) -> set:
+    # cached per Mol: recomputing per bond made the per-bond feature API
+    # O(B * (N + B)) instead of O(N + B)
+    cached = getattr(mol, "_ring_bond_cache", None)
+    if cached is not None:
+        return cached
     ring_bonds = set()
     for ring in mol.ring_info():
         rs = set(ring)
@@ -224,6 +229,7 @@ def _ring_bond_set(mol: Mol) -> set:
             for w, bi in mol.neighbors(a):
                 if w in rs:
                     ring_bonds.add(bi)
+    mol._ring_bond_cache = ring_bonds
     return ring_bonds
 
 

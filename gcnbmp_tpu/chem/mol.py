@@ -171,17 +171,19 @@ class Mol:
         return self
 
     def ring_info(self) -> List[List[int]]:
-        """Small rings (cycle basis, each reduced to a simple cycle).
-
-        Good enough for aromaticity perception of kekulized input; not a
-        full SSSR implementation.
-        """
+        """Small rings: DFS cycle basis augmented with pairwise XOR
+        combinations (recovers the small rings of fused systems that the
+        raw basis can miss — e.g. the second 6-ring of naphthalene when
+        the DFS tree yields {6-ring, 10-rim}).  Not a full SSSR, but
+        sound for aromaticity perception of drug-like molecules; the
+        native C++ parser (native/smiles.cpp) mirrors this algorithm
+        exactly."""
         n = self.num_atoms
         seen = [False] * n
         parent = [-1] * n
         parent_bond = [-1] * n
         depth = [0] * n
-        rings: List[List[int]] = []
+        cycles_bonds: List[frozenset] = []  # each cycle as a bond-id set
         used_bonds = set()
         for root in range(n):
             if seen[root]:
@@ -210,12 +212,61 @@ class Mol:
                     if depth[w] >= depth[v]:
                         continue  # count each back-edge once (from deeper end)
                     used_bonds.add(bi)
-                    # walk v up to w
-                    ring = [v]
+                    # walk v up to w, collecting tree bonds
+                    bonds = [bi]
                     u = v
                     while u != w and parent[u] >= 0:
+                        bonds.append(parent_bond[u])
                         u = parent[u]
-                        ring.append(u)
                     if u == w:
-                        rings.append(ring)
+                        cycles_bonds.append(frozenset(bonds))
+        # XOR closure over pairs: recover small fused rings
+        known = set(cycles_bonds)
+        current = list(cycles_bonds)
+        for _ in range(4):
+            new = []
+            for i in range(len(current)):
+                for j in range(i + 1, len(current)):
+                    x = current[i] ^ current[j]
+                    if not x or len(x) > 7 or x in known:
+                        continue
+                    if self._bond_set_cycle(x) is not None:
+                        known.add(x)
+                        new.append(x)
+            if not new:
+                break
+            current = current + new
+        rings = []
+        for bset in current:
+            cyc = self._bond_set_cycle(bset)
+            if cyc is not None:
+                rings.append(cyc)
         return rings
+
+    def _bond_set_cycle(self, bond_ids) -> Optional[List[int]]:
+        """If the bond set forms exactly one simple cycle, return its
+        vertices in walk order; else None."""
+        deg: Dict[int, List[Tuple[int, int]]] = {}
+        for bi in bond_ids:
+            b = self.bonds[bi]
+            deg.setdefault(b.a1, []).append((b.a2, bi))
+            deg.setdefault(b.a2, []).append((b.a1, bi))
+        if any(len(v) != 2 for v in deg.values()):
+            return None
+        if len(deg) != len(bond_ids):
+            return None
+        start = min(deg)
+        cyc = [start]
+        prev_bi = -1
+        u = start
+        for _ in range(len(bond_ids)):
+            nxt = [(w, bi) for w, bi in deg[u] if bi != prev_bi]
+            if not nxt:
+                return None
+            w, bi = nxt[0]
+            prev_bi = bi
+            if w == start:
+                return cyc if len(cyc) == len(bond_ids) else None
+            cyc.append(w)
+            u = w
+        return None

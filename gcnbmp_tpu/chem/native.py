@@ -13,49 +13,15 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from typing import List, Optional
 
 import numpy as np
 
+from gcnbmp_tpu import native_lib
 from gcnbmp_tpu.chem.featurize import MolGraph
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libgcnbmp_smiles.so")
 
-_lib = None
-_load_failed = False
-
-
-def _try_build() -> bool:
-    try:
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR],
-            check=True, capture_output=True, timeout=120,
-        )
-        return os.path.exists(_LIB_PATH)
-    except Exception:
-        return False
-
-
-def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
-    global _lib, _load_failed
-    if _lib is not None:
-        return _lib
-    if _load_failed:
-        return None
-    if not os.path.exists(_LIB_PATH) and (not build or not _try_build()):
-        _load_failed = True
-        return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        _load_failed = True
-        return None
+def _configure(lib: ctypes.CDLL) -> None:
     lib.smiles_parse_batch.restype = ctypes.c_void_p
     lib.smiles_parse_batch.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
@@ -73,8 +39,11 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
         fn.argtypes = [ctypes.c_void_p]
     lib.smiles_batch_free.restype = None
     lib.smiles_batch_free.argtypes = [ctypes.c_void_p]
-    _lib = lib
-    return _lib
+
+
+def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    return native_lib.load("libgcnbmp_smiles.so", _configure, build=build)
 
 
 def native_available() -> bool:
@@ -110,16 +79,21 @@ def parse_smiles_batch_native(
         n_bonds = lib.smiles_batch_n_bonds(h)
 
         def arr(name, size):
+            if size == 0:
+                # an empty std::vector's data() is NULL; as_array on a
+                # NULL pointer raises — e.g. a batch of bond-free ions
+                # ([Na+]) or all-unparseable rows
+                return np.zeros((0,), np.int32)
             ptr = getattr(lib, f"smiles_batch_{name}")(h)
             return np.ctypeslib.as_array(ptr, shape=(size,)).copy()
 
         ok = arr("mol_ok", n)
         atom_off = arr("atom_offsets", n + 1)
         bond_off = arr("bond_offsets", n + 1)
-        nums = arr("atomic_nums", max(n_atoms, 1))[:n_atoms]
-        b1 = arr("bond_a1", max(n_bonds, 1))[:n_bonds]
-        b2 = arr("bond_a2", max(n_bonds, 1))[:n_bonds]
-        border = arr("bond_order", max(n_bonds, 1))[:n_bonds]
+        nums = arr("atomic_nums", n_atoms)
+        b1 = arr("bond_a1", n_bonds)
+        b2 = arr("bond_a2", n_bonds)
+        border = arr("bond_order", n_bonds)
         out: List[Optional[MolGraph]] = []
         for k in range(n):
             if not ok[k]:

@@ -215,6 +215,8 @@ def _parse_smiles_graph(s: str) -> Mol:
         elif c == "%":
             if i + 2 < n and s[i + 1] == "(":
                 j = s.find(")", i)
+                if j < 0:
+                    raise SmilesError(f"unterminated '%(' ring closure in {s!r}")
                 close_ring(int(s[i + 2 : j]))
                 i = j + 1
             else:
@@ -284,7 +286,12 @@ def _perceive_aromaticity(mol: Mol) -> None:
             if len(ring_bonds) != len(ring):
                 continue
             if all(mol.bonds[bi].order == BondOrder.AROMATIC for bi in ring_bonds):
-                continue  # already aromatic
+                # already aromatic bonds (':'-spelled input or a prior
+                # pass): ensure the ATOMS carry the flag too before
+                # skipping the pi count
+                for a in ring:
+                    mol.atoms[a].aromatic = True
+                continue
             pi = 0
             for a in ring:
                 atom = mol.atoms[a]

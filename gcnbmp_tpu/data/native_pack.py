@@ -14,8 +14,6 @@ Usage:
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from typing import Optional, Sequence
 
 import numpy as np
@@ -28,46 +26,14 @@ from gcnbmp_tpu.data.packing import (
     _pad_coo,
 )
 
-_NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-)
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libgcnbmp_pack.so")
-
-_lib = None
-_load_failed = False
+from gcnbmp_tpu import native_lib
 
 _I32P = ctypes.POINTER(ctypes.c_int32)
 _I64P = ctypes.POINTER(ctypes.c_int64)
 _F32P = ctypes.POINTER(ctypes.c_float)
 
 
-def _build() -> bool:
-    try:
-        subprocess.run(
-            ["make", "-C", _NATIVE_DIR],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception:
-        return False
-
-
-def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
-    global _lib, _load_failed
-    if _lib is not None:
-        return _lib
-    if _load_failed:
-        return None
-    if not os.path.exists(_LIB_PATH):
-        if not (build and _build()):
-            _load_failed = True
-            return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        _load_failed = True
-        return None
+def _configure(lib: ctypes.CDLL) -> None:
     lib.pack_pairs.restype = ctypes.c_void_p
     lib.pack_pairs.argtypes = [
         _I32P, ctypes.c_int32,          # indices, n_pairs
@@ -91,8 +57,10 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
         fn.argtypes = [ctypes.c_void_p]
     lib.pack_free.restype = None
     lib.pack_free.argtypes = [ctypes.c_void_p]
-    _lib = lib
-    return _lib
+
+
+def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
+    return native_lib.load("libgcnbmp_pack.so", _configure, build=build)
 
 
 def native_pack_available() -> bool:

@@ -19,6 +19,7 @@
 #include <cstring>
 #include <cmath>
 #include <map>
+#include <set>
 #include <string>
 #include <thread>
 #include <vector>
@@ -253,7 +254,14 @@ struct Parser {
         if (i + 2 < s.size() && s[i + 1] == '(') {
           size_t j = s.find(')', i);
           if (j == std::string::npos) { fail(); return false; }
-          close_ring(std::stoi(s.substr(i + 2, j - i - 2)));
+          std::string num = s.substr(i + 2, j - i - 2);
+          if (num.empty() || num.size() > 8 ||
+              !std::all_of(num.begin(), num.end(),
+                           [](unsigned char ch) { return isdigit(ch); })) {
+            fail(); return false;  // non-numeric %() ring id: bad row,
+                                   // never an exception out of extern-C
+          }
+          close_ring(std::stoi(num));
           i = j + 1;
         } else if (i + 2 < s.size() && isdigit(s[i + 1]) && isdigit(s[i + 2])) {
           close_ring((s[i + 1] - '0') * 10 + (s[i + 2] - '0'));
@@ -320,13 +328,44 @@ void finalize_implicit_h(Mol& mol) {
   }
 }
 
-// cycle basis via DFS back-edges (mirrors chem/mol.py ring_info)
+// If the bond set forms exactly one simple cycle, return its vertices in
+// walk order (mirrors chem/mol.py Mol._bond_set_cycle); else empty.
+std::vector<int> bond_set_cycle(const Mol& mol, const std::set<int>& bond_ids) {
+  std::map<int, std::vector<std::pair<int, int>>> deg;  // v -> [(w, bi)]
+  for (int bi : bond_ids) {
+    const Bond& b = mol.bonds[bi];
+    deg[b.a1].push_back({b.a2, bi});
+    deg[b.a2].push_back({b.a1, bi});
+  }
+  for (auto& [v, nb] : deg)
+    if (nb.size() != 2) return {};
+  if (deg.size() != bond_ids.size()) return {};
+  int start = deg.begin()->first;  // smallest vertex (std::map is ordered)
+  std::vector<int> cyc = {start};
+  int prev_bi = -1, u = start;
+  for (size_t step = 0; step < bond_ids.size(); ++step) {
+    int w = -1, bi = -1;
+    for (auto& [ww, bbi] : deg[u])
+      if (bbi != prev_bi) { w = ww; bi = bbi; break; }
+    if (w < 0) return {};
+    prev_bi = bi;
+    if (w == start)
+      return cyc.size() == bond_ids.size() ? cyc : std::vector<int>{};
+    cyc.push_back(w);
+    u = w;
+  }
+  return {};
+}
+
+// DFS cycle basis augmented with pairwise XOR combinations — recovers the
+// small rings of fused systems the raw basis can miss (mirrors
+// chem/mol.py ring_info exactly).
 std::vector<std::vector<int>> ring_info(Mol& mol) {
   mol.build_neighbors();
   int n = (int)mol.atoms.size();
   std::vector<bool> seen(n, false);
   std::vector<int> parent(n, -1), parent_bond(n, -1), depth(n, 0);
-  std::vector<std::vector<int>> rings;
+  std::vector<std::set<int>> cycles_bonds;
   std::vector<bool> used_bond(mol.bonds.size(), false);
   for (int root = 0; root < n; ++root) {
     if (seen[root]) continue;
@@ -350,15 +389,41 @@ std::vector<std::vector<int>> ring_info(Mol& mol) {
         if (used_bond[bi]) continue;
         if (depth[w] >= depth[v]) continue;
         used_bond[bi] = true;
-        std::vector<int> ring = {v};
+        std::set<int> bonds = {bi};
         int u = v;
         while (u != w && parent[u] >= 0) {
+          bonds.insert(parent_bond[u]);
           u = parent[u];
-          ring.push_back(u);
         }
-        if (u == w) rings.push_back(ring);
+        if (u == w) cycles_bonds.push_back(bonds);
       }
     }
+  }
+  // XOR closure over pairs: recover small fused rings
+  std::set<std::set<int>> known(cycles_bonds.begin(), cycles_bonds.end());
+  std::vector<std::set<int>> current = cycles_bonds;
+  for (int pass = 0; pass < 4; ++pass) {
+    std::vector<std::set<int>> fresh;
+    for (size_t i = 0; i < current.size(); ++i) {
+      for (size_t j = i + 1; j < current.size(); ++j) {
+        std::set<int> x;
+        std::set_symmetric_difference(
+            current[i].begin(), current[i].end(), current[j].begin(),
+            current[j].end(), std::inserter(x, x.begin()));
+        if (x.empty() || x.size() > 7 || known.count(x)) continue;
+        if (!bond_set_cycle(mol, x).empty()) {
+          known.insert(x);
+          fresh.push_back(x);
+        }
+      }
+    }
+    if (fresh.empty()) break;
+    current.insert(current.end(), fresh.begin(), fresh.end());
+  }
+  std::vector<std::vector<int>> rings;
+  for (auto& bset : current) {
+    auto cyc = bond_set_cycle(mol, bset);
+    if (!cyc.empty()) rings.push_back(cyc);
   }
   return rings;
 }
@@ -378,7 +443,12 @@ void perceive_aromaticity(Mol& mol) {
       bool all_aromatic = true;
       for (int bi : ring_bonds)
         if (mol.bonds[bi].order != AROMATIC) all_aromatic = false;
-      if (all_aromatic) continue;
+      if (all_aromatic) {
+        // ':'-spelled input or a prior pass: ensure the ATOMS carry the
+        // flag too before skipping the pi count (mirrors chem/smiles.py)
+        for (int a : ring) mol.atoms[a].aromatic = true;
+        continue;
+      }
       int pi = 0;
       bool okring = true;
       for (int a : ring) {

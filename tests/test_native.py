@@ -44,6 +44,29 @@ def test_native_matches_python_exactly():
         assert canon(g_nat) == canon(g_py), smi
 
 
+def test_native_edge_cases_no_abort():
+    """Regression: malformed '%()' ring ids must mark the row failed
+    (not std::terminate the process); bond-free / all-failed / empty
+    batches must not crash on NULL vector data; fused kekulized
+    aromatics must match Python."""
+    out = parse_smiles_batch_native(["CCO", "C%(x)O", "C%(99999999999)O"])
+    assert out[0] is not None and out[1] is None and out[2] is None
+    ions = parse_smiles_batch_native(["[Na+]", "[Cl-]"])
+    assert [g.num_atoms for g in ions] == [1, 1]
+    assert [g.num_edges for g in ions] == [0, 0]
+    assert parse_smiles_batch_native(["%%%", "((("]) == [None, None]
+    assert parse_smiles_batch_native([]) == []
+    f = GGNNFeaturizer()
+    for smi in ("C1=CC=C2C(=C1)C=CC=C2", "C1=CC=C2C=C3C=CC=CC3=CC2=C1",
+                "C:1:C:C:C:C:C:1"):
+        g_py = f(mol_from_smiles(smi))
+        g_nat = parse_smiles_batch_native([smi])[0]
+        np.testing.assert_array_equal(g_nat.atom_ids, g_py.atom_ids,
+                                      err_msg=smi)
+        assert (sorted(g_nat.edge_type.tolist())
+                == sorted(g_py.edge_type.tolist())), smi
+
+
 def test_native_batch_threads():
     batch = CORPUS * 8
     single = parse_smiles_batch_native(batch, n_threads=1)

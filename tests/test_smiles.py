@@ -95,6 +95,37 @@ def test_cyclohexane_not_aromatic():
     assert all(b.order == BondOrder.SINGLE for b in mol.bonds)
 
 
+def test_malformed_percent_ring_closures_fail_cleanly():
+    """Regression: unterminated '%(' must not loop forever; non-numeric
+    ring ids must return None, not raise/abort."""
+    for bad in ("C%(12", "C%(x)O", "C%(999999999999)O", "C%"):
+        assert mol_from_smiles(bad) is None, bad
+
+
+def test_fused_aromatic_spellings_agree():
+    """Regression: every kekulized spelling of naphthalene perceives the
+    same 10 aromatic atoms / 11 aromatic bonds (the DFS cycle basis can
+    yield the 10-ring rim; the XOR augmentation recovers the second
+    6-ring)."""
+    from gcnbmp_tpu.chem.mol import BondOrder
+
+    for smi in ("C1=CC=C2C(=C1)C=CC=C2", "C1=CC=C2C=CC=CC2=C1",
+                "c1ccc2ccccc2c1"):
+        m = mol_from_smiles(smi)
+        assert sum(a.aromatic for a in m.atoms) == 10, smi
+        assert sum(b.order == BondOrder.AROMATIC for b in m.bonds) == 11, smi
+    # anthracene: three fused rings
+    m = mol_from_smiles("C1=CC=C2C=C3C=CC=CC3=CC2=C1")
+    assert sum(a.aromatic for a in m.atoms) == 14
+
+
+def test_colon_bond_aromatic_atoms():
+    """Regression: ':'-spelled aromatic rings flag the ATOMS aromatic,
+    not just the bonds."""
+    m = mol_from_smiles("C:1:C:C:C:C:C:1")
+    assert sum(a.aromatic for a in m.atoms) == 6
+
+
 def test_bond_symbols():
     mol = _parse_smiles_graph("C-C=C#C:C/C\\C")
     orders = [b.order for b in mol.bonds]
