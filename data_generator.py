@@ -71,6 +71,10 @@ def main(argv=None):
     matrix_df = pd.read_csv(args.matrix)
     if args.edgelist:
         S.export_known_ddis_edgelist(matrix_df, args.edgelist)
+    if "Unnamed: 0" in matrix_df.columns:
+        # pandas index column is numeric — select_dtypes would keep it
+        # and silently shift every pair label one column
+        matrix_df = matrix_df.drop(columns=["Unnamed: 0"])
     mat = matrix_df.select_dtypes(include=[np.number]).to_numpy()
     ids = list(drug_df["cid"])
     if args.validate:

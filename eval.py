@@ -40,6 +40,10 @@ def parse_args(argv=None):
                         "also compute embedding-similarity vs shared-DDI "
                         "correlation + scatter plot (reference "
                         "result_analysis.py / correlation_all_*.png)")
+    p.add_argument("--smiles-cols", default="smiles_1,smiles_2",
+                   help="the two SMILES column names (match train.py)")
+    p.add_argument("--label-cols", default="label",
+                   help="label column name(s) (match train.py)")
     p.add_argument("--labels-csv", dest="labels_csv", default=None,
                    help="class-list CSV for multi-label runs (same file "
                         "given to train.py; enables ||-label parsing)")
@@ -83,13 +87,21 @@ def main(argv=None):
             "--labels-csv used for training so test labels binarize "
             "identically"
         )
-    parser = CSVPairParser(multi_label_classes=classes)
+    parser = CSVPairParser(
+        multi_label_classes=classes,
+        smiles_cols=tuple(args.smiles_cols.split(",")),
+        labels=tuple(args.label_cols.split(",")),
+    )
     res = parser.parse(args.test)
     ds = res.dataset
     logging.info("test: %d pairs (%d failed)", len(ds), res.fail_count)
 
-    # rebuild predictor and restore weights
-    trainer = Trainer(cfg, ds, None)
+    # rebuild predictor and restore weights (template only: disable the
+    # train-time dataset transforms so the TEST set isn't augmented)
+    import dataclasses
+
+    trainer = Trainer(dataclasses.replace(cfg, augment=False, balance=False),
+                      ds, None)
     template = trainer._init_state()
     state = restore_checkpoint(os.path.join(args.run, args.checkpoint), template)
     out_dir = args.out or os.path.join(args.run, "eval")
@@ -112,7 +124,10 @@ def main(argv=None):
     if args.similarity:
         from gcnbmp_tpu.eval.similarity import similarity_csv
 
-        ids = [s for pair in ds.smiles_pairs for s in pair]
+        # e1 holds ALL left embeddings then e2 all right — order ids the
+        # same way (interleaving them mispaired every drug after the first)
+        ids = ([p[0] for p in ds.smiles_pairs]
+               + [p[1] for p in ds.smiles_pairs])
         emb = np.concatenate([result.e1, result.e2])
         uniq = {}
         for i, s in enumerate(ids):
@@ -133,6 +148,8 @@ def main(argv=None):
         )
 
         mat_df = pd.read_csv(args.correlation_matrix)
+        if "Unnamed: 0" in mat_df.columns:  # pandas index column
+            mat_df = mat_df.drop(columns=["Unnamed: 0"])
         cids = [str(c) for c in mat_df.columns]
         mat = mat_df.to_numpy()
         # per-drug embedding from the pair exports (cid columns when
@@ -167,11 +184,15 @@ def main(argv=None):
 
         k = min(args.saliency_count, len(ds))
         batch = make_batch(ds, list(range(k)))
-        sal = atom_saliency(
-            trainer.predictor, state.params,
-            batch.atoms1, batch.adj1, batch.atoms2, batch.adj2,
-            batch.mask1, batch.mask2, method=args.saliency,
-        )
+        try:
+            sal = atom_saliency(
+                trainer.predictor, state.params,
+                batch.atoms1, batch.adj1, batch.atoms2, batch.adj2,
+                batch.mask1, batch.mask2, method=args.saliency,
+            )
+        except NotImplementedError as e:
+            logging.warning("saliency skipped: %s", e)
+            return 0
         os.makedirs(os.path.join(out_dir, "saliency"), exist_ok=True)
         for i in range(k):
             for side, key in (("mol1", 0), ("mol2", 1)):

@@ -228,6 +228,15 @@ def export_representations(
     df = pd.read_csv(source_csv)
     if is_successful is not None:
         df = df[np.asarray(is_successful)].reset_index(drop=True)
+    if len(result.e1) != len(df):
+        # evaluators drop ignore-labeled (label < 0 / NaN) rows, which
+        # the is_successful mask cannot see — refuse to write misaligned
+        # exports rather than silently pairing rows with wrong embeddings
+        raise ValueError(
+            f"export alignment mismatch: {len(result.e1)} evaluated rows "
+            f"vs {len(df)} parseable CSV rows (does the CSV contain "
+            "negative/NaN labels?)"
+        )
     base = os.path.splitext(os.path.basename(source_csv))[0]
     e1 = [_float_list_to_str(x) for x in result.e1]
     e2 = [_float_list_to_str(x) for x in result.e2]

@@ -60,6 +60,17 @@ def atom_saliency(
     the embedding gradient (times the embedding when multiply_input,
     the IntegratedGradients convention).
     """
+    from gcnbmp_tpu.models.relgcn import RelGCN
+
+    enc = getattr(predictor, "encoder", None)
+    if isinstance(enc, RelGCN):
+        raise NotImplementedError(
+            "atom saliency differentiates w.r.t. pre-embedded atom "
+            "features, which RelGCN does not accept (its float-input "
+            "path is the DrugFP feature layer embed_linear, untrained "
+            "in an atom-id run); supported encoders: ggnn/ggnn-dev/"
+            "gin/mpnn/nfp"
+        )
     grad_fn, embed = embedding_grad_fn(predictor, params, adj1, adj2, mask1, mask2)
     h1, h2 = embed(atoms1), embed(atoms2)
 

@@ -24,6 +24,8 @@ def main(argv=None):
     p.add_argument("--checkpoint", default="best")
     p.add_argument("--out", default=None, help="output CSV (default stdout)")
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--smiles-cols", default="smiles_1,smiles_2",
+                   help="the two SMILES column names (match train.py)")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
     if args.platform:
@@ -45,14 +47,23 @@ def main(argv=None):
         cfg = TrainConfig.from_json(f.read())
 
     df = pd.read_csv(args.input)
-    if "label" not in df.columns:
-        df = df.copy()
-        df["label"] = 0  # placeholder; scores are what matters
-    res = CSVPairParser().parse(df)
+    df = df.copy()
+    # scores are what matters: force a uniform valid label so rows with
+    # missing/negative labels aren't dropped by the evaluator (which
+    # would misalign probs with the output frame)
+    df["label"] = 0
+    res = CSVPairParser(
+        smiles_cols=tuple(args.smiles_cols.split(",")),
+    ).parse(df)
     logging.info("scoring %d pairs (%d unparseable)",
                  len(res.dataset), res.fail_count)
 
-    trainer = Trainer(cfg, res.dataset, None)
+    import dataclasses
+
+    trainer = Trainer(
+        dataclasses.replace(cfg, augment=False, balance=False),
+        res.dataset, None,
+    )
     state = restore_checkpoint(
         os.path.join(args.run, args.checkpoint), trainer._init_state()
     )

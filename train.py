@@ -71,11 +71,11 @@ def parse_args(argv=None):
     p.add_argument("--label-cols", dest="label_cols", default="label")
     p.add_argument("--smiles-cols", dest="smiles_cols", default="smiles_1,smiles_2")
     p.add_argument("--platform", default=None, help="jax platform override (cpu/axon)")
-    p.add_argument("--multi-device", action="store_true",
+    p.add_argument("--multi-device", action="store_true", default=None,
                    help="graph-sharded training over all visible devices "
                         "(the reference's --multi-gpu analog; requires "
                         "--compute-path packed)")
-    p.add_argument("--debug-checks", action="store_true",
+    p.add_argument("--debug-checks", action="store_true", default=None,
                    help="validate every COO batch before transfer (turns "
                         "silently-dropped out-of-bounds edges into hard "
                         "errors; debug only)")
