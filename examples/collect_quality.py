@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Aggregate quality evidence: for every run directory under results/
+with an eval_result.json, collect test metrics + training wall/epochs
+into docs/quality_results.json (the committed evidence behind
+docs/QUALITY.md — results/ itself is gitignored)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "results")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "quality_results.json")
+
+
+def main():
+    out = {}
+    for name in sorted(os.listdir(RESULTS)):
+        run = os.path.join(RESULTS, name)
+        found = None
+        for sub in ("eval", "eval_full"):
+            p = os.path.join(run, sub, "eval_result.json")
+            if os.path.exists(p):
+                found = p
+                break
+        if found is None:
+            continue
+        with open(found) as f:
+            metrics = json.load(f)
+        entry = {k: v for k, v in metrics.items() if k != "per_class"}
+        if "per_class" in metrics:
+            entry["n_classes"] = len(metrics["per_class"])
+        log_path = os.path.join(run, "log.json")
+        if os.path.exists(log_path):
+            with open(log_path) as f:
+                log = json.load(f)
+            if log:
+                entry["epochs"] = len(log)
+                entry["train_wall_s"] = round(log[-1]["elapsed_time"], 1)
+                vals = [e["val/loss"] for e in log if "val/loss" in e]
+                if vals:
+                    entry["best_val_loss"] = round(min(vals), 5)
+        out[name] = entry
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {OUT}: {len(out)} runs")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -191,9 +191,9 @@ def test_embedding_ddi_correlation_detects_structure():
     emb = np.stack([base1 + 0.01 * rng.normal(size=8) for _ in range(5)]
                    + [base2 + 0.01 * rng.normal(size=8) for _ in range(5)])
     ddi = np.zeros((10, 10))
-    ddi[:5, 5:] = 0  # cluster 1 interacts with targets 0-2
-    ddi[:5, :3] = 1
-    ddi[5:, 3:6] = 1
+    ddi[:5, :3] = 1   # cluster 1 interacts with targets 0-2
+    ddi[5:, 3:6] = 1  # cluster 2 with targets 3-5
+    ddi = np.maximum(ddi, ddi.T)  # interaction matrices are symmetric
     corr, s, c = embedding_ddi_correlation(emb, ddi)
     assert corr > 0.5  # same-cluster pairs share partners AND embeddings
 

@@ -131,5 +131,5 @@ def test_kekulize_fused_and_heteroaromatic():
         k = kekulize(mol_from_smiles(smi))
         assert k is not None, smi
         assert not any(b.order == BondOrder.AROMATIC for b in k.bonds), smi
-        assert sum(b.order == BondOrder.DOUBLE for b in k.bonds
-                   if True) >= 2, smi
+        assert sum(b.order == BondOrder.DOUBLE for b in k.bonds) \
+            == n_doubles, smi

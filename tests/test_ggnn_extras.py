@@ -52,14 +52,19 @@ def test_self_attn_aggregator_unfinished_in_reference():
 def test_masked_self_attention():
     g, _, _ = _run_ggnn(use_attention=True)
     assert g.shape == (2, 6)
-    # attention respects the adjacency mask: isolated atom attends nowhere
+    # attention respects the adjacency mask: a single-neighbor atom's
+    # output is exactly elu(W h_neighbor) (all weight on that neighbor)
     attn = MaskedSelfAttention(hidden_dim=8)
     h = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4, 8)), jnp.float32)
     adj = jnp.zeros((1, 4, 4, 4))
     adj = adj.at[0, 0, 0, 1].set(1.0).at[0, 0, 1, 0].set(1.0)
     v = attn.init(jax.random.PRNGKey(0), h, adj)
-    out = attn.apply(v, h, adj)
-    assert np.all(np.isfinite(np.asarray(out)))
+    out = np.asarray(attn.apply(v, h, adj))
+    assert np.all(np.isfinite(out))
+    wh = np.asarray(h[0] @ v["params"]["linear_transform"]["kernel"])
+    elu = lambda x: np.where(x > 0, x, np.expm1(x))
+    np.testing.assert_allclose(out[0, 0], elu(wh[1]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[0, 1], elu(wh[0]), rtol=1e-5, atol=1e-6)
 
 
 def test_update_attention_raises_with_reference_citation():

@@ -90,7 +90,8 @@ def test_native_faster_than_python():
     t0 = time.perf_counter()
     parse_smiles_batch_native(batch, n_threads=4)
     t_nat = time.perf_counter() - t0
-    assert t_nat < t_py, (t_nat, t_py)
+    # native measures ~35x faster; 2x margin absorbs scheduler noise
+    assert t_nat * 2 < t_py, (t_nat, t_py)
 
 
 def test_parser_fuzz_no_crashes():

@@ -42,21 +42,21 @@ def test_packing_invariants():
         g.num_atoms for g in ds.graphs2
     )
     assert int(packed.node_mask.sum()) == total_atoms
-    # flattened mol_id sorted (required for sorted segment_sum)
-    flat = packed.mol_id.reshape(-1)
-    real = flat[flat < packed.num_mols]
-    # within each tile ids are contiguous ascending; across tiles ascending
+    # mol_id ascends within each tile (padding slots carry num_mols, the
+    # max); global sortedness across tiles is NOT an invariant (and the
+    # segment_sum no longer claims it — models/packed._segment_mol_sum)
     assert np.all(np.diff(packed.mol_id, axis=1) >= 0)
-    tile_max = np.where(
-        (packed.mol_id < packed.num_mols).any(axis=1),
-        np.max(np.where(packed.mol_id < packed.num_mols, packed.mol_id, -1), axis=1),
-        -1,
-    )
-    tile_min_next = [
-        packed.mol_id[p][packed.mol_id[p] < packed.num_mols].min()
+    # real mol ids ascend across tiles in tile order
+    real_per_tile = [
+        packed.mol_id[p][packed.mol_id[p] < packed.num_mols]
         for p in range(packed.num_tiles)
-        if (packed.mol_id[p] < packed.num_mols).any()
     ]
+    last = -1
+    for ids_ in real_per_tile:
+        if len(ids_) == 0:
+            continue
+        assert int(ids_.min()) > last
+        last = int(ids_.max())
     # edges preserved
     total_edges = sum(g.num_edges for g in ds.graphs1) + sum(
         g.num_edges for g in ds.graphs2

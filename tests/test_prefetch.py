@@ -26,7 +26,7 @@ def test_prefetch_overlaps_production():
     first_three = [next(it), next(it), next(it)]
     dt = time.perf_counter() - t0
     assert first_three == [0, 1, 2]
-    assert dt < 0.1  # already staged
+    assert dt < 0.15  # already staged (loose: CI scheduler noise)
 
 
 def test_prefetch_propagates_exceptions():

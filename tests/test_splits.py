@@ -50,10 +50,9 @@ def test_random_split_by_drug_no_leakage():
     train_drugs = {d for p, _ in [splits["train"]] for a, b in p for d in (a, b)}
     for key in ("valid", "test"):
         for a, b in splits[key][0]:
-            # exactly one drug unseen in train pairs
-            assert (a in train_drugs) != (b in train_drugs) or (
-                a in train_drugs and b not in train_drugs
-            ) or (b in train_drugs and a not in train_drugs)
+            # exactly one endpoint is a train drug (splits.py pairs one
+            # train drug with one held-out drug)
+            assert (a in train_drugs) != (b in train_drugs)
     # valid and test drugs don't overlap
     vd = {d for a, b in splits["valid"][0] for d in (a, b)} - train_drugs
     td = {d for a, b in splits["test"][0] for d in (a, b)} - train_drugs
@@ -67,11 +66,25 @@ def test_scaffold_split_groups_same_scaffold():
     splits = scaffold_split_by_drug(
         pairs, labels, ids, SMILES, frac_train=0.5, frac_valid=0.3, frac_test=0.2
     )
-    folds = {}
-    for key, (p, _) in splits.items():
-        for a, b in p:
-            folds.setdefault(a, set()).add(key)
-            folds.setdefault(b, set()).add(key)
+    # a drug's NON-train fold memberships identify its partition (valid/
+    # test pairs have exactly one held-out endpoint); same-scaffold drugs
+    # must share one partition
+    train_drugs = {d for a, b in splits["train"][0] for d in (a, b)}
+    held = {}
+    for key in ("valid", "test"):
+        for a, b in splits[key][0]:
+            for d in (a, b):
+                if d not in train_drugs:
+                    held.setdefault(d, set()).add(key)
+    benzene = [d for d in ids
+               if murcko_scaffold_key(SMILES[d])
+               == murcko_scaffold_key("c1ccccc1")]
+    assert len(benzene) >= 2
+    memberships = {
+        ("train",) if d in train_drugs else tuple(sorted(held.get(d, ())))
+        for d in benzene
+    }
+    assert len(memberships) == 1, memberships  # all in one fold
     assert murcko_scaffold_key("c1ccccc1") == murcko_scaffold_key("Cc1ccccc1")
     assert murcko_scaffold_key("c1ccccc1") != murcko_scaffold_key("c1ccncc1")
     assert murcko_scaffold_key("CCO") == ""  # acyclic
