@@ -14,8 +14,18 @@ from gcnbmp_tpu.chem.featurize import (
     DrugFPFeaturizer,
     MolGraph,
 )
+from gcnbmp_tpu.chem.mol2vec import (
+    Mol2VecFeaturizer,
+    identifier_table_from_corpus,
+    mol2vec_table,
+    morgan_sentence,
+)
 
 __all__ = [
+    "Mol2VecFeaturizer",
+    "identifier_table_from_corpus",
+    "mol2vec_table",
+    "morgan_sentence",
     "Atom",
     "Bond",
     "Mol",

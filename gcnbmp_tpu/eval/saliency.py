@@ -63,14 +63,12 @@ def atom_saliency(
     from gcnbmp_tpu.models.relgcn import RelGCN
 
     enc = getattr(predictor, "encoder", None)
-    if isinstance(enc, RelGCN):
-        raise NotImplementedError(
-            "atom saliency differentiates w.r.t. pre-embedded atom "
-            "features, which RelGCN does not accept (its float-input "
-            "path is the DrugFP feature layer embed_linear, untrained "
-            "in an atom-id run); supported encoders: ggnn/ggnn-dev/"
-            "gin/mpnn/nfp"
-        )
+    if isinstance(enc, RelGCN) and not enc.pre_embedded:
+        # RelGCN's float path is the DrugFP raw-feature layer
+        # (embed_linear); clone it so float inputs mean "already
+        # embedded", the same contract GGNN's float path has.  Parameter
+        # structure is unchanged, so the trained params apply verbatim.
+        predictor = predictor.clone(encoder=enc.clone(pre_embedded=True))
     grad_fn, embed = embedding_grad_fn(predictor, params, adj1, adj2, mask1, mask2)
     h1, h2 = embed(atoms1), embed(atoms2)
 

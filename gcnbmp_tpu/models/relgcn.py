@@ -57,6 +57,12 @@ class RelGCN(nn.Module):
     ch_list: Optional[Tuple[int, ...]] = None
     n_atom_types: int = MAX_ATOMIC_NUM
     scale_adj: bool = False
+    # When True, float inputs are taken as already-embedded atom states
+    # (the GGNN float-path contract) instead of DrugFP-style raw features
+    # fed through embed_linear.  Saliency clones the encoder with this set
+    # so it can differentiate w.r.t. the EmbedAtomID output
+    # (reference eval_saliency_map.py:34-39 is encoder-agnostic the same way).
+    pre_embedded: bool = False
 
     @nn.compact
     def __call__(
@@ -69,6 +75,8 @@ class RelGCN(nn.Module):
         chs = list(self.ch_list) if self.ch_list else [self.hidden_dim] * (self.n_layers + 1)
         if jnp.issubdtype(atoms.dtype, jnp.integer):
             h = EmbedAtomID(self.n_atom_types, chs[0], name="embed")(atoms)
+        elif self.pre_embedded:
+            h = atoms
         else:
             h = GraphLinear(chs[0], name="embed_linear")(atoms)
         if self.scale_adj:

@@ -10,9 +10,9 @@ format dependency-light.
 from __future__ import annotations
 
 import os
-import pickle
 import jax
 import numpy as np
+from flax import serialization
 
 from gcnbmp_tpu.train.loop import TrainState
 
@@ -58,8 +58,8 @@ def save_checkpoint(path: str, state: TrainState) -> None:
         ckptr.save(path, tree, force=True)
     else:  # pragma: no cover
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path + ".pkl", "wb") as f:
-            pickle.dump(tree, f)
+        with open(path + ".msgpack", "wb") as f:
+            f.write(serialization.to_bytes(tree))
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
@@ -68,6 +68,11 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
         ckptr = ocp.PyTreeCheckpointer()
         tree = ckptr.restore(path, item=jax.device_get(_state_to_tree(template)))
     else:  # pragma: no cover
-        with open(path + ".pkl", "rb") as f:
-            tree = pickle.load(f)
+        # msgpack restore against the template's structure — no arbitrary
+        # code execution on load (unlike the reference's Classifier pickle,
+        # eval_coattention.py:430-431).
+        with open(path + ".msgpack", "rb") as f:
+            tree = serialization.from_bytes(
+                jax.device_get(_state_to_tree(template)), f.read()
+            )
     return _tree_to_state(tree, template)

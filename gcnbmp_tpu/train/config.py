@@ -92,9 +92,12 @@ class TrainConfig:
     #   all visible devices (parallel/edgeshard.py; the reference's
     #   --multi-gpu ParallelUpdater analog). compute_path='packed',
     #   binary sigmoid-CE only.
-    debug_checks: bool = False                # validate every COO batch
-    #   (PackedCOOBatch.validate: turns silently-dropped OOB edges into
-    #    hard errors; debug only — adds host-side work per batch)
+    debug_checks: bool = False                # debug mode (SURVEY §5.2):
+    #   wraps the train step in jax checkify (float+index error sets —
+    #   NaN/inf anywhere in the step and OOB gathers become hard errors)
+    #   and validates every COO batch host-side (PackedCOOBatch.validate:
+    #   turns silently-dropped OOB edges into hard errors).  Debug only —
+    #   adds a checking pass to the program and host work per batch.
     check_numerics: bool = False              # fail fast on nan/inf loss (checked once per epoch)
 
     def lr_shift_epochs(self) -> Tuple[int, ...]:

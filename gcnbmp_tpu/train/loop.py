@@ -146,9 +146,33 @@ class TrainState:
     epochs_since_best: int
 
 
+def _jit_step(fn, debug_checks: bool = False, **jit_kwargs):
+    """jit a train-step function; with ``debug_checks`` the step is wrapped
+    in ``checkify`` (float + index error sets: NaN/inf anywhere in the
+    step and out-of-bounds gathers/scatters become hard Python errors
+    instead of silent clamps) — the SURVEY §5.2 debug mode.  Adds a pass
+    over the whole program; debug only."""
+    if not debug_checks:
+        return jax.jit(fn, **jit_kwargs)
+    from jax.experimental import checkify
+
+    checked = checkify.checkify(
+        fn, errors=checkify.float_checks | checkify.index_checks
+    )
+    jfn = jax.jit(checked, **jit_kwargs)
+
+    def wrapper(*args):
+        err, out = jfn(*args)
+        checkify.check_error(err)
+        return out
+
+    return wrapper
+
+
 def make_train_step(predictor, optimizer, class_num: int = 1,
                     loss: Callable = sigmoid_cross_entropy,
-                    uses_supernodes: bool = False):
+                    uses_supernodes: bool = False,
+                    debug_checks: bool = False):
     """Returns jitted (params, opt_state, batch_arrays[, supers], rng) ->
     updated.  ``uses_supernodes`` threads the GWM supernode vectors."""
 
@@ -168,7 +192,6 @@ def make_train_step(predictor, optimizer, class_num: int = 1,
             logits = jnp.reshape(logits, labels.shape)
         return loss(logits, labels), logits
 
-    @jax.jit
     def step_fn(params, opt_state, atoms1, adj1, atoms2, adj2, mask1, mask2,
                 supers, labels, rng):
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -179,13 +202,14 @@ def make_train_step(predictor, optimizer, class_num: int = 1,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, logits
 
-    return step_fn
+    return _jit_step(step_fn, debug_checks)
 
 
 def make_packed_train_step(packed_predictor, optimizer,
                            class_num: int = 1,
                            loss: Callable = sigmoid_cross_entropy,
-                           fused: bool = False):
+                           fused: bool = False,
+                           debug_checks: bool = False):
     """Train step over the packed supergraph layout (data/packing.py);
     ``fused`` routes through the Pallas kernel."""
 
@@ -205,7 +229,6 @@ def make_packed_train_step(packed_predictor, optimizer,
             logits = jnp.reshape(logits, labels.shape)
         return loss(logits, labels), logits
 
-    @jax.jit
     def step_fn(params, opt_state, atom_ids, adj, mol_id, node_mask,
                 left, right, labels):
         (l, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -215,7 +238,7 @@ def make_packed_train_step(packed_predictor, optimizer,
         params = optax.apply_updates(params, updates)
         return params, opt_state, l, logits
 
-    return step_fn
+    return _jit_step(step_fn, debug_checks)
 
 
 def packed_batch_iterator(ds: PairDataset, batch_size: int, num_tiles: int,
@@ -232,7 +255,8 @@ def packed_batch_iterator(ds: PairDataset, batch_size: int, num_tiles: int,
 
 
 def make_packed_coo_train_step(coo_predictor, optimizer, class_num: int = 1,
-                               loss: Callable = sigmoid_cross_entropy):
+                               loss: Callable = sigmoid_cross_entropy,
+                               debug_checks: bool = False):
     """Train step over COO packed batches (PackedCOOBatch): the host ships
     ~#edges ints; the dense tile adjacency is materialized on device inside
     the step (models/packed.PackedPairPredictorCOO)."""
@@ -243,7 +267,6 @@ def make_packed_coo_train_step(coo_predictor, optimizer, class_num: int = 1,
             logits = jnp.reshape(logits, labels.shape)
         return loss(logits, labels), logits
 
-    @jax.jit
     def step_fn(params, opt_state, args, labels):
         (l, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, args, labels
@@ -252,12 +275,13 @@ def make_packed_coo_train_step(coo_predictor, optimizer, class_num: int = 1,
         params = optax.apply_updates(params, updates)
         return params, opt_state, l, logits
 
-    return step_fn
+    return _jit_step(step_fn, debug_checks)
 
 
 def make_packed_scan_train_step(predictor, optimizer,
                                 class_num: int = 1,
-                                loss: Callable = sigmoid_cross_entropy):
+                                loss: Callable = sigmoid_cross_entropy,
+                                debug_checks: bool = False):
     """S train steps in ONE XLA program: ``lax.scan`` over a stack of S
     packed batches resident in HBM.  Works for both packed layouts —
     ``predictor`` is applied positionally to each step's arg tuple (the
@@ -286,7 +310,7 @@ def make_packed_scan_train_step(predictor, optimizer,
         )
         return params, opt_state, losses
 
-    return jax.jit(scan_fn, donate_argnums=(0, 1))
+    return _jit_step(scan_fn, debug_checks, donate_argnums=(0, 1))
 
 
 def scan_chunk_iterator(batches, scan_steps: int, args_fn):
@@ -615,7 +639,7 @@ class Trainer:
             if cfg.scan_steps > 1:
                 train_step = make_packed_scan_train_step(
                     packed_predictor, self.optimizer, cfg.class_num,
-                    self.loss_fn,
+                    self.loss_fn, debug_checks=cfg.debug_checks,
                 )
             elif coo and cfg.multi_device:
                 # graph-sharded training over the sustained COO input
@@ -662,7 +686,7 @@ class Trainer:
             elif coo:
                 train_step = make_packed_coo_train_step(
                     packed_predictor, self.optimizer, cfg.class_num,
-                    self.loss_fn,
+                    self.loss_fn, debug_checks=cfg.debug_checks,
                 )
             elif cfg.multi_device:
                 # graph-sharded data parallelism over every visible device
@@ -701,6 +725,7 @@ class Trainer:
                     packed_predictor, self.optimizer,
                     cfg.class_num, self.loss_fn,
                     fused=cfg.compute_path == "fused",
+                    debug_checks=cfg.debug_checks,
                 )
             # safe static bounds over every dataset the jitted programs
             # will see (train batches are shuffled; eval batches are
@@ -738,6 +763,7 @@ class Trainer:
             train_step = make_train_step(
                 self.predictor, self.optimizer, cfg.class_num, self.loss_fn,
                 uses_supernodes=self.uses_supernodes,
+                debug_checks=cfg.debug_checks,
             )
         if coo:
             # epoch-end metric evals ride the fast COO path too

@@ -43,6 +43,73 @@ def test_pair_embeddings_join(tmp_path):
     np.testing.assert_array_equal(y, [1, 0])
 
 
+def test_morgan_sentence_structure():
+    from gcnbmp_tpu.chem.mol2vec import morgan_sentence
+    from gcnbmp_tpu.chem.smiles import mol_from_smiles
+
+    mol = mol_from_smiles("CCCO")
+    s1 = morgan_sentence(mol, radius=1)
+    assert len(s1) == mol.num_atoms * 2  # radii 0..1 per atom, interleaved
+    # deterministic across calls
+    assert s1 == morgan_sentence(mol_from_smiles("CCCO"), radius=1)
+    r0, r1 = s1[0::2], s1[1::2]
+    # radius-0 invariant is (element, degree, charge, H, aromatic):
+    # the terminal methyl C differs from a middle C, and C from O
+    assert r0[0] != r0[1] and r0[0] != r0[3]
+    # both middle carbons share radius-0 ids (degree 2, 2 H) but their
+    # radius-1 environments differ (C,C vs C,O neighbors)
+    assert r0[1] == r0[2]
+    assert r1[1] != r1[2]
+
+
+def test_mol2vec_featurizer_sum_and_unseen():
+    from gcnbmp_tpu.chem.mol2vec import (
+        Mol2VecFeaturizer,
+        identifier_table_from_corpus,
+        morgan_sentence,
+    )
+    from gcnbmp_tpu.chem.smiles import mol_from_smiles
+
+    corpus = [mol_from_smiles(s) for s in ["CCO", "CC", "CCC"]]
+    table = identifier_table_from_corpus(corpus, dim=16, radius=1)
+    f = Mol2VecFeaturizer(table=table, radius=1)
+    mol = mol_from_smiles("CCO")
+    v = f(mol)
+    assert v.shape == (16,)
+    expected = sum(table[w] for w in morgan_sentence(mol, 1))
+    np.testing.assert_allclose(v, expected, rtol=1e-6)
+    # unseen identifiers (N not in corpus) fall back to the UNSEEN vector
+    v2 = f(mol_from_smiles("NCCN"))
+    assert np.all(np.isfinite(v2))
+
+
+def test_mol2vec_pipeline_trains(tmp_path):
+    # end-to-end: smiles -> mol2vec table -> pair join -> head training
+    from gcnbmp_tpu.chem.mol2vec import mol2vec_table
+
+    oxy = ["CCO", "CC(=O)O", "OCCO", "C=O", "COC", "OC1CCCCC1"]
+    no_oxy = ["CC", "CCC", "c1ccccc1", "CCN", "C#N", "C1CCCCC1"]
+    smiles = oxy + no_oxy
+    ids = [f"D{i}" for i in range(len(smiles))]
+    s2v = mol2vec_table(smiles, dim=32, radius=1)
+    table = {d: s2v[s] for d, s in zip(ids, smiles)}
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(400):
+        i, j = rng.integers(len(smiles), size=2)
+        y = int(i < len(oxy) and j < len(oxy))
+        rows.append((ids[i], ids[j], y))
+    csv = str(tmp_path / "pairs.csv")
+    pd.DataFrame(rows, columns=["drugbank_id_1", "drugbank_id_2", "label"]
+                 ).to_csv(csv, index=False)
+    e1, e2, y = pair_embeddings(csv, table)
+    out = train_fixed_embedding_head(
+        e1, e2, y, sim_method="mlp", epochs=60, learning_rate=5e-3,
+        batch_size=64,
+    )
+    assert out["train_metrics"]["roc_auc"] > 0.95
+
+
 def test_train_fixed_head_learns():
     rng = np.random.default_rng(0)
     n = 2000

@@ -75,6 +75,65 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_msgpack_fallback(tmp_path, monkeypatch):
+    # orbax-absent path: msgpack (flax.serialization), no pickle anywhere
+    from gcnbmp_tpu.train import checkpoints
+
+    ds = _toy_dataset(n_pairs=16)
+    cfg = TrainConfig(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, batch_size=8,
+        epochs=1, out_dir=str(tmp_path / "out"), snapshot_interval=100,
+        seed=0, early_stop_patience=100,
+    )
+    trainer = Trainer(cfg, ds, val_ds=ds)
+    state = trainer.fit()["state"]
+    monkeypatch.setattr(checkpoints, "HAVE_ORBAX", False)
+    path = str(tmp_path / "ckpt_msgpack")
+    checkpoints.save_checkpoint(path, state)
+    assert os.path.exists(path + ".msgpack")
+    restored = checkpoints.restore_checkpoint(path, trainer._init_state())
+    assert restored.epoch == state.epoch
+    import jax
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_debug_checks_checkify(tmp_path):
+    # clean run passes under checkify; a poisoned batch raises (SURVEY §5.2)
+    import jax
+    import jax.numpy as jnp
+
+    from gcnbmp_tpu.data.dataset import make_batch
+    from gcnbmp_tpu.models import set_up_predictor
+    from gcnbmp_tpu.train.loop import build_optimizer, make_train_step
+
+    ds = _toy_dataset(n_pairs=8)
+    cfg = TrainConfig(fp_hidden_dim=8, fp_out_dim=8, conv_layers=2,
+                      batch_size=8, epochs=1, seed=0)
+    pred = set_up_predictor(method="ggnn", fp_hidden_dim=8, fp_out_dim=8,
+                            conv_layers=2, sim_method="hole")
+    b = make_batch(ds, list(range(8)))
+    rng = jax.random.PRNGKey(0)
+    params = pred.init(rng, jnp.asarray(b.atoms1), jnp.asarray(b.adj1),
+                       jnp.asarray(b.atoms2), jnp.asarray(b.adj2),
+                       jnp.asarray(b.mask1), jnp.asarray(b.mask2))["params"]
+    opt, _ = build_optimizer(cfg, steps_per_epoch=1)
+    opt_state = opt.init(params)
+    step = make_train_step(pred, opt, debug_checks=True)
+    labels = jnp.asarray(b.labels, jnp.float32)
+    out = step(params, opt_state, b.atoms1, b.adj1, b.atoms2, b.adj2,
+               b.mask1, b.mask2, (), labels, rng)
+    assert np.isfinite(float(out[2]))
+    bad = jnp.asarray(b.adj1).at[0].set(jnp.nan)
+    with pytest.raises(Exception, match="nan"):
+        step(params, opt_state, b.atoms1, bad, b.atoms2, b.adj2,
+             b.mask1, b.mask2, (), labels, rng)
+
+
 def test_resume_continues(tmp_path):
     ds = _toy_dataset(n_pairs=16)
     out = str(tmp_path / "out")
