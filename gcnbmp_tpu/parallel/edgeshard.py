@@ -258,12 +258,14 @@ def shard_packed_coo_batch(coo, mesh: Mesh, axis: str = "graph",
     )
 
 
-def shard_packed_batch(packed, mesh: Mesh, axis: str = "graph"):
-    """Pad + device_put a PackedGraphBatch for the edgeshard step: tiles
-    padded to a multiple of the axis size, pairs likewise."""
+def pad_packed_global(packed, n_dev: int):
+    """Pad a PackedGraphBatch's arrays for an n_dev-way tile/pair split:
+    tiles and pairs padded to a multiple of n_dev (pairs with label -1
+    fill, ignored by the loss).  Returns the 7 global numpy arrays in
+    edgeshard-step argument order — deterministic, so every process of a
+    multi-host run computes identical global arrays from the same batch."""
     import numpy as np
 
-    n_dev = mesh.shape[axis]
     p = packed.num_tiles
     pad_tiles = (-p) % n_dev
     b = len(packed.left_index)
@@ -285,10 +287,12 @@ def shard_packed_batch(packed, mesh: Mesh, axis: str = "graph"):
     labels = np.concatenate([
         np.asarray(packed.labels, np.float32), -np.ones(pad_pairs, np.float32)
     ])
-    sh = lambda spec: NamedSharding(mesh, spec)
-    put = lambda x, spec: jax.device_put(jnp.asarray(x), sh(spec))
-    return (
-        put(atom_ids, P(axis)), put(adj, P(axis)), put(mol_id, P(axis)),
-        put(node_mask, P(axis)), put(left, P(axis)), put(right, P(axis)),
-        put(labels, P(axis)),
-    )
+    return atom_ids, adj, mol_id, node_mask, left, right, labels
+
+
+def shard_packed_batch(packed, mesh: Mesh, axis: str = "graph"):
+    """Pad + device_put a PackedGraphBatch for the edgeshard step: tiles
+    padded to a multiple of the axis size, pairs likewise."""
+    arrays = pad_packed_global(packed, mesh.shape[axis])
+    sh = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(jnp.asarray(x), sh) for x in arrays)

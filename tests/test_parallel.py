@@ -256,3 +256,29 @@ def test_trainer_multi_device_end_to_end(tmp_path):
             TrainConfig(compute_path="fused", multi_device=True,
                         out_dir=str(tmp_path / "bad")), ds, None
         ).fit()
+
+
+def test_comm_budget_bounds():
+    # the edgeshard scaling-efficiency bound (VERDICT r1 #5): analytic
+    # collective volume vs measured compute; ≥80% must hold even on DCN
+    from gcnbmp_tpu.parallel.commbudget import (
+        edgeshard_comm_budget,
+        ring_all_reduce_s,
+    )
+
+    assert ring_all_reduce_s(1e6, 1, 4.5e10) == 0.0
+    # ring cost grows to 2x buffer as n -> inf
+    assert ring_all_reduce_s(1e6, 2, 1e9) == pytest.approx(1e-3)
+    assert ring_all_reduce_s(1e6, 1000, 1e9) == pytest.approx(2e-3, rel=1e-2)
+
+    for b in (2048, 8192):
+        r = edgeshard_comm_budget(b, param_count=120_000, out_dim=32,
+                                  n_devices=8)
+        assert r.moltable_bytes == 2 * b * 32 * 4
+        assert r.grad_bytes == 120_000 * 4
+        assert r.efficiency_bound_ici >= r.efficiency_bound_dcn >= 0.8
+    # larger batches amortize the (batch-independent) grad reduction
+    assert (
+        edgeshard_comm_budget(8192, 120_000).efficiency_bound_dcn
+        > edgeshard_comm_budget(2048, 120_000).efficiency_bound_dcn
+    )
