@@ -46,6 +46,9 @@ class PackedGraphBatch:
     right_index: np.ndarray  # (B,) int32
     labels: np.ndarray       # (B,) or (B, C) float32
     n_edges: Optional[int] = None  # precomputed by pack_graphs
+    # per-molecule feature vectors in packed-mol-id order (num_mols, F);
+    # set when the batch feeds a supernode encoder (PackedGGNN_GWM)
+    supers: Optional[np.ndarray] = None
 
     @property
     def num_tiles(self) -> int:
@@ -94,11 +97,15 @@ def pack_graphs(
     labels: np.ndarray,
     tile: int = TILE,
     num_tiles: Optional[int] = None,
+    mol_features: Optional[np.ndarray] = None,
 ) -> PackedGraphBatch:
     """Pack an interleaved list of pair molecules [l0, r0, l1, r1, ...].
 
     ``num_tiles``: pad the tile count to a fixed value for jit shape
     stability (extra tiles are empty).
+    ``mol_features``: optional (n_mols, F) per-molecule vectors in the
+    interleaved input order (e.g. GWM supernode features); emitted as
+    ``supers`` reordered to packed mol-id order.
     """
     assert len(graphs) % 2 == 0
     n_mols = len(graphs)
@@ -134,17 +141,30 @@ def pack_graphs(
         node_mask[b, off : off + k] = 1.0
     left = remap[0::2].astype(np.int32)
     right = remap[1::2].astype(np.int32)
+    supers = None
+    if mol_features is not None:
+        mol_features = np.asarray(mol_features, np.float32)
+        assert mol_features.shape[0] == n_mols, mol_features.shape
+        supers = np.empty_like(mol_features)
+        supers[remap] = mol_features
     return PackedGraphBatch(
         atom_ids=atom_ids, adj=adj, mol_id=mol_id, node_mask=node_mask,
         num_mols=n_mols, left_index=left, right_index=right,
         labels=np.asarray(labels, np.float32),
         n_edges=int(sum(g.num_edges for g in graphs)),
+        supers=supers,
     )
 
 
 def pack_pair_dataset_batch(ds, indices: Sequence[int], tile: int = TILE,
-                            num_tiles: Optional[int] = None) -> PackedGraphBatch:
-    """Build a PackedGraphBatch from PairDataset rows."""
+                            num_tiles: Optional[int] = None,
+                            supernode_fn=None) -> PackedGraphBatch:
+    """Build a PackedGraphBatch from PairDataset rows.
+
+    ``supernode_fn``: smiles -> per-molecule feature vector; when given,
+    the batch carries ``supers`` (num_mols, F) for supernode encoders.
+    Features are cached per graph object (the per-molecule descriptors
+    are pure functions of the molecule)."""
     graphs: List[MolGraph] = []
     labels = []
     for i in indices:
@@ -154,7 +174,21 @@ def pack_pair_dataset_batch(ds, indices: Sequence[int], tile: int = TILE,
     labels = np.stack(labels)
     if labels.shape[-1] == 1:
         labels = labels[:, 0]
-    return pack_graphs(graphs, labels, tile=tile, num_tiles=num_tiles)
+    mol_features = None
+    if supernode_fn is not None:
+        feats = []
+        for g in graphs:
+            f = getattr(g, "_super_cache", None)
+            if f is None:
+                f = np.asarray(supernode_fn(g.smiles), np.float32)
+                try:
+                    g._super_cache = f
+                except Exception:  # frozen dataclass graphs: recompute
+                    pass
+            feats.append(f)
+        mol_features = np.stack(feats)
+    return pack_graphs(graphs, labels, tile=tile, num_tiles=num_tiles,
+                       mol_features=mol_features)
 
 
 def estimate_tiles(sizes: Sequence[int], tile: int = TILE, slack: float = 1.1) -> int:

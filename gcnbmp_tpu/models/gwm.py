@@ -171,6 +171,154 @@ class GGNN_GWM(nn.Module):
         return out, aux
 
 
+class PackedGWMStep(nn.Module):
+    """Packed twin of GWMStep: the node->super multi-head attention
+    becomes a segment-softmax over mol_id; per-molecule tensors (the
+    supernode side) are (num_mols, ·) instead of (B, ·).  Param names
+    match GWMStep exactly so weights swap freely between layouts."""
+
+    hidden_dim: int
+    hidden_dim_super: int
+    n_heads: int = 8
+
+    @nn.compact
+    def __call__(self, h, h2, h_s, mol_id, node_mask, num_mols: int):
+        from gcnbmp_tpu.models.packed import segment_softmax
+
+        d, ds, k = self.hidden_dim, self.hidden_dim_super, self.n_heads
+        dense = lambda f, name: nn.Dense(f, kernel_init=LecunNormal(), name=name)
+        p, t, _ = h.shape
+        ids = mol_id.reshape(-1)
+        valid = node_mask.reshape(-1)
+        # --- transmitter: local -> super (multi-head attention) ---
+        q = jnp.tanh(dense(k * d, "super_query")(h_s))     # (M, k*d)
+        keys = jnp.tanh(dense(k * d, "local_key")(h))      # (P, T, k*d)
+        kh = keys.reshape(p * t, k, d)
+        qh = jnp.concatenate(
+            [q.reshape(num_mols, k, d), jnp.zeros((1, k, d), q.dtype)], axis=0
+        )[ids]  # (N, k, d) — this node's molecule query (pads -> zero row)
+        scores = jnp.sum(kh * qh, axis=-1) / jnp.sqrt(float(d))  # (N, k)
+        attn = segment_softmax(scores, ids, valid, num_mols + 1)  # (N, k)
+        h_flat = h.reshape(p * t, d)
+        contrib = (attn[:, :, None] * h_flat[:, None, :]).reshape(p * t, k * d)
+        heads = jax.ops.segment_sum(
+            contrib, ids, num_segments=num_mols + 1
+        )[:num_mols]  # (M, k*d)
+        trans_super = jnp.tanh(dense(ds, "local_to_super")(heads))
+        # --- transmitter: super -> local (broadcast via gather) ---
+        tl = jnp.tanh(dense(d, "super_to_local")(h_s))  # (M, d)
+        tl = jnp.concatenate([tl, jnp.zeros((1, d), tl.dtype)], axis=0)
+        trans_local = tl[mol_id]  # (P, T, d)
+        # --- warp gates ---
+        z_local = jax.nn.sigmoid(
+            dense(d, "gate_local_self")(h2)
+            + dense(d, "gate_local_trans")(trans_local)
+        )
+        merged_local = z_local * trans_local + (1.0 - z_local) * h2
+        self_super = dense(ds, "super_self")(h_s)
+        z_super = jax.nn.sigmoid(
+            dense(ds, "gate_super_self")(h_s)
+            + dense(ds, "gate_super_trans")(trans_super)
+        )
+        merged_super = z_super * trans_super + (1.0 - z_super) * jnp.tanh(self_super)
+        return merged_local, merged_super
+
+
+class PackedGGNN_GWM(nn.Module):
+    """GGNN+GWM forward over packed tiles: the per-molecule supernode
+    rides a (num_mols, ds) table exchanged with the packed node states
+    through segment ops (VERDICT r1 #3 — the GWM packed fast-path twin).
+    Param tree matches GGNN_GWM exactly, so the padded evaluators work on
+    packed-trained params."""
+
+    out_dim: int
+    hidden_dim: int = 16
+    hidden_dim_super: int = 16
+    n_layers: int = 4
+    n_heads: int = 8
+    n_atom_types: int = MAX_ATOMIC_NUM
+    dropout_ratio: float = 0.0
+    weight_tying: bool = True
+
+    @nn.compact
+    def __call__(self, atom_ids, adj, supers, mol_id, node_mask,
+                 num_mols: int):
+        from gcnbmp_tpu.models.packed import (
+            PackedCommonReadout,
+            _segment_mol_sum,
+        )
+
+        if self.dropout_ratio > 0:
+            raise ValueError("packed GWM path supports dropout_ratio=0 only")
+        h = EmbedAtomID(self.n_atom_types, self.hidden_dim, name="embed")(atom_ids)
+        h0 = h
+        h_s = nn.Dense(self.hidden_dim_super, kernel_init=LecunNormal(),
+                       name="embed_super")(supers)
+        n_message = 1 if self.weight_tying else self.n_layers
+        messages = [
+            GGNNMessage(self.hidden_dim, name=f"update_{i}")
+            for i in range(n_message)
+        ]
+        gwm_steps = [
+            PackedGWMStep(self.hidden_dim, self.hidden_dim_super,
+                          self.n_heads, name=f"gwm_{i}")
+            for i in range(n_message)
+        ]
+        pre_updates = [
+            nn.Dense(self.hidden_dim, kernel_init=LecunNormal(),
+                     name=f"pre_update_{i}")
+            for i in range(n_message)
+        ]
+        gru_local = ChainerGRUCell(self.hidden_dim, name="gru_local")
+        gru_super = ChainerGRUCell(self.hidden_dim_super, name="gru_super")
+
+        state_local = jnp.zeros_like(h)
+        state_super = jnp.zeros_like(h_s)
+        for step in range(self.n_layers):
+            idx = 0 if self.weight_tying else step
+            m = messages[idx](h, adj)
+            h2 = pre_updates[idx](jnp.concatenate([h, m], axis=-1))
+            merged_local, merged_super = gwm_steps[idx](
+                h, h2, h_s, mol_id, node_mask, num_mols
+            )
+            state_local = gru_local(state_local, merged_local)
+            state_super = gru_super(state_super, merged_super)
+            h, h_s = state_local, state_super
+
+        g_nodes = PackedCommonReadout(self.out_dim, name="readout_0")(
+            h, h0, node_mask
+        )
+        g = _segment_mol_sum(g_nodes, mol_id, num_mols)
+        g2 = jnp.concatenate([g, h_s], axis=-1)
+        out = nn.relu(
+            nn.Dense(self.out_dim, kernel_init=LecunNormal(),
+                     name="linear_for_concat_super")(g2)
+        )
+        return out, {"atoms": h, "h0": h0, "super": h_s}
+
+
+class PackedGWMPairPredictor(nn.Module):
+    """Pair predictor over the packed layout for GGNN_GWM: one supergraph
+    pass encodes both molecules of every pair (Siamese by construction),
+    with the per-molecule supernode features as a (num_mols, F) table.
+    Parameter-compatible with GWMPairPredictor(encoder=GGNN_GWM)."""
+
+    encoder: nn.Module  # a PackedGGNN_GWM, name='encoder'
+    head: nn.Module     # name='head'
+
+    @nn.compact
+    def __call__(self, atom_ids, adj, supers, mol_id, node_mask,
+                 left_index, right_index, return_g: bool = False):
+        num_mols = 2 * left_index.shape[0]
+        g, _ = self.encoder(atom_ids, adj, supers, mol_id, node_mask, num_mols)
+        g1 = jnp.take(g, left_index, axis=0)
+        g2 = jnp.take(g, right_index, axis=0)
+        logits = self.head(g1, g2)
+        if return_g:
+            return logits, g1, g2
+        return logits
+
+
 class GWMPairPredictor(nn.Module):
     """Siamese GGNN_GWM pair predictor (6-ary input incl. supernodes;
     reference train_ggnn_hole_with_gwm.py:123-194).

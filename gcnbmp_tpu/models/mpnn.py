@@ -39,13 +39,19 @@ NUM_EDGE_TYPE = 4
 
 class EdgeNet(nn.Module):
     """Per-edge-type matrix messages with the reference's non-edge
-    background term.  Returns concat(message_in, message_out): (B, N, 2ch)."""
+    background term.  Returns concat(message_in, message_out): (B, N, 2ch).
+
+    ``mask``: when given, padded atoms are excluded from the non-edge
+    background sum (corrected behavior — the reference's background sums
+    over ALL padded slots, making it pad-size-dependent; mask=None
+    reproduces that quirk for parity)."""
 
     out_channels: int
     edge_hidden_dim: int = 16
 
     @nn.compact
-    def __call__(self, h: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, h: jnp.ndarray, adj: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         b, n, ch = h.shape
         assert ch == self.out_channels, (ch, self.out_channels)
         # MLP over the 5 possible edge vectors: zero + 4 one-hots.
@@ -60,7 +66,8 @@ class EdgeNet(nn.Module):
         # h transformed by each matrix: reference computes M @ h_j, i.e.
         # message contribution M(e_ij) h_j.
         hm = jnp.einsum("tcd,bjd->btjc", m_types - m0, h)  # (B, 4, N, ch)
-        h_m0_sum = jnp.einsum("cd,bjd->bc", m0, h)  # (B, ch): M0 sum_j h_j
+        h_bg = h if mask is None else h * mask[..., None]
+        h_m0_sum = jnp.einsum("cd,bjd->bc", m0, h_bg)  # (B, ch): M0 sum_j h_j
 
         def directed(a):  # a: (B, 4, N, N) adjacency in chosen direction
             msg = jnp.einsum("btij,btjc->bic", a, hm)
@@ -133,7 +140,7 @@ class MPNN(nn.Module):
         for step in range(self.n_layers):
             k = 0 if self.weight_tying else step
             if self.message_func == "edgenet":
-                x = msgs[k](h, adj)  # already (B, N, 2ch)
+                x = msgs[k](h, adj, mask)  # already (B, N, 2ch)
             else:
                 m = msgs[k](h, adj)
                 x = jnp.concatenate([h, m], axis=-1)

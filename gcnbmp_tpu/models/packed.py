@@ -91,6 +91,9 @@ class PackedGGNN(nn.Module):
     n_layers: int = 4
     n_atom_types: int = MAX_ATOMIC_NUM
     weight_tying: bool = True
+    # jnp.bfloat16 -> message/GRU matmuls run on the MXU in bf16 with f32
+    # accumulation (params stay f32); None = full f32
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -105,9 +108,11 @@ class PackedGGNN(nn.Module):
         h0 = h
         n_message = 1 if self.weight_tying else self.n_layers
         messages = [
-            GGNNMessage(self.hidden_dim, name=f"update_{i}") for i in range(n_message)
+            GGNNMessage(self.hidden_dim, dtype=self.compute_dtype,
+                        name=f"update_{i}") for i in range(n_message)
         ]
-        gru = ChainerGRUCell(self.hidden_dim, name="gru")
+        gru = ChainerGRUCell(self.hidden_dim, dtype=self.compute_dtype,
+                             name="gru")
         gru_state = jnp.zeros_like(h)
         for step in range(self.n_layers):
             m = messages[0 if self.weight_tying else step](h, adj)
@@ -202,6 +207,169 @@ class PackedNFPReadout(nn.Module):
         i = GraphLinear(self.out_dim, name="output_weight")(h)
         i = jax.nn.softmax(i, axis=-1)
         return i * node_mask[..., None]
+
+
+def segment_softmax(scores, ids, valid, num_segments: int):
+    """Numerically-stable softmax over segments: the packed twin of a
+    per-molecule masked softmax.  scores (N, K), ids (N,), valid (N,);
+    invalid rows get weight 0 and contribute nothing."""
+    masked = jnp.where(valid[:, None] > 0, scores, -1e9)
+    m = jax.ops.segment_max(masked, ids, num_segments=num_segments)
+    e = jnp.exp(masked - m[ids]) * valid[:, None]
+    s = jax.ops.segment_sum(e, ids, num_segments=num_segments)
+    return e / jnp.maximum(s[ids], 1e-9)
+
+
+class PackedSet2Set(nn.Module):
+    """Set2Set over the packed layout (padded twin: readouts.Set2Set,
+    reference models/readout/set2set.py:14-57): the per-molecule softmax
+    attention becomes a segment-softmax over mol_id.  Param names (lstm)
+    match Set2Set so weights swap freely between layouts."""
+
+    channels: int
+    processing_steps: int = 3
+
+    @nn.compact
+    def __call__(self, h, mol_id, node_mask, num_mols: int):
+        ch = h.shape[-1]
+        flat = h.reshape(-1, ch)
+        ids = mol_id.reshape(-1)
+        valid = node_mask.reshape(-1)
+        cell = nn.OptimizedLSTMCell(self.channels, name="lstm")
+        carry = cell.initialize_carry(jax.random.PRNGKey(0), (num_mols, 2 * ch))
+        carry = jax.tree.map(jnp.zeros_like, carry)
+        q_star = jnp.zeros((num_mols, 2 * ch), h.dtype)
+        for _ in range(self.processing_steps):
+            carry, q = cell(carry, q_star)  # (num_mols, ch)
+            # energies: <h_n, q_{mol(n)}>; padding slots (ids == num_mols)
+            # read the appended zero row and are masked anyway
+            qx = jnp.concatenate([q, jnp.zeros((1, ch), q.dtype)], axis=0)
+            e = jnp.sum(flat * qx[ids], axis=-1, keepdims=True)  # (N, 1)
+            a = segment_softmax(e, ids, valid, num_mols + 1)
+            r = jax.ops.segment_sum(
+                a * flat, ids, num_segments=num_mols + 1
+            )[:num_mols]
+            q_star = jnp.concatenate([q, r], axis=-1)
+        return q_star  # (num_mols, 2*ch)
+
+
+class PackedMPNNReadout(nn.Module):
+    """Packed twin of MPNNReadout (Set2Set x steps + 2-layer MLP;
+    reference models/readout/mpnn_readout.py:38-66).  Returns
+    per-MOLECULE vectors directly (Set2Set pools internally)."""
+
+    out_dim: int
+    hidden_dim: int
+    processing_steps: int = 3
+
+    @nn.compact
+    def __call__(self, h, mol_id, node_mask, num_mols: int):
+        from gcnbmp_tpu.models.layers import LecunNormal
+
+        g = PackedSet2Set(self.hidden_dim, self.processing_steps,
+                          name="set2set")(h, mol_id, node_mask, num_mols)
+        g = nn.relu(nn.Dense(self.hidden_dim, kernel_init=LecunNormal(),
+                             name="linear1")(g))
+        return nn.Dense(self.out_dim, kernel_init=LecunNormal(),
+                        name="linear2")(g)
+
+
+class PackedEdgeNet(nn.Module):
+    """Packed twin of mpnn.EdgeNet: per-edge-type matrix messages plus
+    the PER-MOLECULE non-edge background term M0 @ sum_{j in mol} h_j
+    (a segment-sum + gather; equals the padded module's masked
+    background).  Param names (nn1, nn2) match EdgeNet."""
+
+    out_channels: int
+    edge_hidden_dim: int = 16
+
+    @nn.compact
+    def __call__(self, h, adj, mol_id, node_mask, num_mols: int):
+        from gcnbmp_tpu.models.layers import LecunNormal
+
+        p, t, ch = h.shape
+        assert ch == self.out_channels, (ch, self.out_channels)
+        basis = jnp.concatenate(
+            [jnp.zeros((1, 4)), jnp.eye(4)], axis=0
+        )
+        z = nn.relu(nn.Dense(self.edge_hidden_dim, kernel_init=LecunNormal(),
+                             name="nn1")(basis))
+        mats = nn.Dense(ch * ch, kernel_init=LecunNormal(), name="nn2")(z)
+        mats = mats.reshape(5, ch, ch)
+        m0, m_types = mats[0], mats[1:]
+
+        hm = jnp.einsum("tcd,pjd->ptjc", m_types - m0, h)  # (P, 4, T, ch)
+        # per-molecule background: M0 @ segment-sum of real-node h
+        flat = (h * node_mask[..., None]).reshape(-1, ch)
+        ids = mol_id.reshape(-1)
+        mol_sum = jax.ops.segment_sum(flat, ids, num_segments=num_mols + 1)
+        bg = mol_sum @ m0.T  # (num_mols + 1, ch); row num_mols = pads
+        bg_nodes = bg[mol_id]  # (P, T, ch)
+
+        def directed(a):
+            return jnp.einsum("ptij,ptjc->pic", a, hm) + bg_nodes
+
+        return jnp.concatenate(
+            [directed(adj), directed(jnp.swapaxes(adj, 2, 3))], axis=-1
+        )
+
+
+class PackedMPNN(nn.Module):
+    """MPNN forward over packed tiles (reference models/mpnn.py:22-111):
+    message in {edgenet, ggnn}, GRU update, readout in {set2set, ggnn}.
+    Param tree matches models/mpnn.MPNN (embed, message_{i}, gru_{i},
+    readout_0/...) so trained weights swap freely between layouts —
+    padded-path evaluators work on packed-trained params."""
+
+    out_dim: int
+    hidden_dim: int = 16
+    n_layers: int = 4
+    n_atom_types: int = MAX_ATOMIC_NUM
+    weight_tying: bool = True
+    message_func: str = "edgenet"
+    readout_func: str = "set2set"
+    edge_hidden_dim: int = 16
+
+    @nn.compact
+    def __call__(self, atom_ids, adj, mol_id, node_mask, num_mols: int):
+        h = EmbedAtomID(self.n_atom_types, self.hidden_dim, name="embed")(atom_ids)
+        h0 = h
+        n_message = 1 if self.weight_tying else self.n_layers
+        if self.message_func == "edgenet":
+            msgs = [
+                PackedEdgeNet(self.hidden_dim, self.edge_hidden_dim,
+                              name=f"message_{i}")
+                for i in range(n_message)
+            ]
+        else:
+            msgs = [
+                GGNNMessage(self.hidden_dim, name=f"message_{i}")
+                for i in range(n_message)
+            ]
+        grus = [
+            ChainerGRUCell(self.hidden_dim, name=f"gru_{i}")
+            for i in range(n_message)
+        ]
+        gru_states = [jnp.zeros_like(h) for _ in range(n_message)]
+        for step in range(self.n_layers):
+            k = 0 if self.weight_tying else step
+            if self.message_func == "edgenet":
+                x = msgs[k](h, adj, mol_id, node_mask, num_mols)
+            else:
+                m = msgs[k](h, adj)
+                x = jnp.concatenate([h, m], axis=-1)
+            gru_states[k] = grus[k](gru_states[k], x)
+            h = gru_states[k]
+        if self.readout_func == "ggnn":
+            g_nodes = PackedCommonReadout(
+                self.out_dim, name="readout_0"
+            )(h, h0, node_mask)
+            g = _segment_mol_sum(g_nodes, mol_id, num_mols)
+        else:
+            g = PackedMPNNReadout(self.out_dim, self.hidden_dim,
+                                  name="readout_0")(h, mol_id, node_mask,
+                                                    num_mols)
+        return g, {"atoms": h, "h0": h0}
 
 
 class PackedNFP(nn.Module):
@@ -477,7 +645,7 @@ def fused_pair_logits(
     return predictor.head.apply({"params": params["head"]}, g1, g2)
 
 
-PACKED_ENCODERS = ("ggnn", "relgcn", "gin", "nfp")
+PACKED_ENCODERS = ("ggnn", "relgcn", "gin", "nfp", "mpnn")
 
 
 def make_packed_predictor(
@@ -493,16 +661,38 @@ def make_packed_predictor(
     attn: "str | None" = None,
     adj_dtype=jnp.float32,
     method: str = "ggnn",
+    compute_dtype=None,
 ) -> PackedPairPredictor:
     from gcnbmp_tpu.models.heads import HEADS
 
     head_kwargs: Dict[str, Any] = {"out_dim": class_num}
     if sim_method in ("hole", "mlp", "symmlp", "ntn", "dist-mult"):
         head_kwargs["hidden_dims"] = tuple(net_hidden_dims)
+    if compute_dtype is not None and method != "ggnn":
+        raise ValueError("compute_dtype is plumbed for the GGNN encoder only")
+    if method == "ggnn-gwm":
+        # dense packed layout only: supernode features ride the batch as a
+        # (num_mols, F) table (PackedGraphBatch.supers)
+        if coo or compact or attn is not None:
+            raise ValueError(
+                "ggnn-gwm packed path supports compute_path='packed' only"
+            )
+        from gcnbmp_tpu.models.gwm import PackedGGNN_GWM, PackedGWMPairPredictor
+
+        head = HEADS[sim_method](name="head", **head_kwargs)
+        return PackedGWMPairPredictor(
+            encoder=PackedGGNN_GWM(
+                out_dim=fp_out_dim, hidden_dim=fp_hidden_dim,
+                hidden_dim_super=fp_hidden_dim, n_layers=conv_layers,
+                weight_tying=weight_tying, name="encoder",
+            ),
+            head=head,
+        )
     if method == "ggnn":
         encoder = PackedGGNN(
             out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
-            weight_tying=weight_tying, name="encoder",
+            weight_tying=weight_tying, compute_dtype=compute_dtype,
+            name="encoder",
         )
     elif method == "relgcn":
         encoder = PackedRelGCN(
@@ -518,6 +708,11 @@ def make_packed_predictor(
         encoder = PackedNFP(
             out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
             name="encoder",
+        )
+    elif method == "mpnn":
+        encoder = PackedMPNN(
+            out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
+            weight_tying=weight_tying, name="encoder",
         )
     else:
         raise ValueError(

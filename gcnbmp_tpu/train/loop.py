@@ -242,7 +242,7 @@ def make_packed_train_step(packed_predictor, optimizer,
 
 
 def packed_batch_iterator(ds: PairDataset, batch_size: int, num_tiles: int,
-                          rng: np.random.Generator):
+                          rng: np.random.Generator, supernode_fn=None):
     """Shuffled packed batches with a fixed tile count (closed jit
     shapes).  Drops the tail batch (training only)."""
     from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
@@ -251,7 +251,37 @@ def packed_batch_iterator(ds: PairDataset, batch_size: int, num_tiles: int,
     rng.shuffle(order)
     for start in range(0, len(ds) - batch_size + 1, batch_size):
         idx = order[start:start + batch_size].tolist()
-        yield pack_pair_dataset_batch(ds, idx, num_tiles=num_tiles)
+        yield pack_pair_dataset_batch(ds, idx, num_tiles=num_tiles,
+                                      supernode_fn=supernode_fn)
+
+
+def make_packed_gwm_train_step(predictor, optimizer, class_num: int = 1,
+                               loss: Callable = sigmoid_cross_entropy,
+                               debug_checks: bool = False):
+    """Train step for PackedGWMPairPredictor (models/gwm.py): the dense
+    packed arg tuple with the per-molecule supernode table after adj."""
+
+    def loss_fn(params, atom_ids, adj, supers, mol_id, node_mask,
+                left, right, labels):
+        logits = predictor.apply(
+            {"params": params}, atom_ids, adj, supers, mol_id, node_mask,
+            left, right,
+        )
+        if class_num == 1:
+            logits = jnp.reshape(logits, labels.shape)
+        return loss(logits, labels), logits
+
+    def step_fn(params, opt_state, atom_ids, adj, supers, mol_id, node_mask,
+                left, right, labels):
+        (l, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, atom_ids, adj, supers, mol_id, node_mask, left, right,
+            labels,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l, logits
+
+    return _jit_step(step_fn, debug_checks)
 
 
 def make_packed_coo_train_step(coo_predictor, optimizer, class_num: int = 1,
@@ -381,9 +411,17 @@ def packed_config_problems(cfg, allow_attn: bool = False) -> List[str]:
     from gcnbmp_tpu.models.packed import PACKED_ENCODERS
 
     problems = []
-    if cfg.method not in PACKED_ENCODERS:
+    if cfg.method == "ggnn-gwm":
+        # the GWM packed twin rides the DENSE packed layout only: the
+        # per-molecule supernode table travels with the batch
+        if cfg.compute_path != "packed":
+            problems.append("ggnn-gwm rides compute_path='packed' only")
+        if getattr(cfg, "scan_steps", 0) > 1 or getattr(cfg, "multi_device", False):
+            problems.append("ggnn-gwm packed path: no scan / multi_device")
+    elif cfg.method not in PACKED_ENCODERS:
         problems.append(
-            f"method={cfg.method!r} (only {'/'.join(PACKED_ENCODERS)})"
+            f"method={cfg.method!r} (only {'/'.join(PACKED_ENCODERS)}"
+            f"/ggnn-gwm)"
         )
     if cfg.compute_path == "fused" and cfg.method != "ggnn":
         problems.append("fused Pallas kernel is GGNN-only")
@@ -630,6 +668,14 @@ class Trainer:
                 net_hidden_dims=cfg.net_hidden_dims, compact=coo,
                 attn=cfg.attn if coo else None, adj_dtype=adj_dtype,
                 method=cfg.method,
+                # bfloat16: message/GRU matmuls on the MXU in bf16 with
+                # f32 accumulation (measured +21-40% on the v5e; params
+                # and the head stay f32).  GGNN-only plumbing so far.
+                compute_dtype=(
+                    jnp.bfloat16
+                    if cfg.compute_dtype == "bfloat16" and cfg.method == "ggnn"
+                    else None
+                ),
             )
             if cfg.scan_steps > 1 and cfg.compute_path == "fused":
                 raise ValueError("scan_steps requires compute_path "
@@ -719,6 +765,12 @@ class Trainer:
                 logging.info(
                     "multi_device: graph-sharded training over %d devices",
                     len(jax.devices()),
+                )
+            elif cfg.method == "ggnn-gwm":
+                train_step = make_packed_gwm_train_step(
+                    packed_predictor, self.optimizer,
+                    cfg.class_num, self.loss_fn,
+                    debug_checks=cfg.debug_checks,
                 )
             else:
                 train_step = make_packed_train_step(
@@ -826,7 +878,8 @@ class Trainer:
                     batches = (b.validate() for b in batches)
             elif packed:
                 batches = packed_batch_iterator(
-                    self.train_ds, cfg.batch_size, self.num_tiles, self.np_rng
+                    self.train_ds, cfg.batch_size, self.num_tiles,
+                    self.np_rng, supernode_fn=self.supernode_fn,
                 )
             else:
                 batches = batch_iterator(
@@ -930,11 +983,16 @@ class Trainer:
                         np.float32 if cfg.compute_dtype == "float32"
                         else jnp.bfloat16
                     )
+                    supers = (
+                        (jnp.asarray(batch.supers),)
+                        if self.uses_supernodes else ()
+                    )
                     state.params, state.opt_state, loss, _ = train_step(
                         state.params, state.opt_state,
                         jnp.asarray(batch.atom_ids),
                         # cast HOST-side so bf16 actually halves the transfer
                         jnp.asarray(np.asarray(batch.adj, adj_dtype)),
+                        *supers,
                         jnp.asarray(batch.mol_id), jnp.asarray(batch.node_mask),
                         jnp.asarray(batch.left_index),
                         jnp.asarray(batch.right_index),

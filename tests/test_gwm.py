@@ -110,3 +110,86 @@ def test_gwm_trainer_end_to_end(tmp_path):
     log = result["log"]
     assert log[-1]["main/loss"] < log[0]["main/loss"]
     assert np.isfinite(log[-1]["val/roc_auc"])
+
+
+def _pair_ds(n=12, seed=0):
+    rng = np.random.default_rng(seed)
+    f = GGNNFeaturizer()
+    smis = ["CCO", "c1ccccc1", "CC(=O)O", "C=O", "CCN", "COC"]
+    ds = PairDataset()
+    for _ in range(n):
+        ds.append(
+            f(mol_from_smiles(smis[int(rng.integers(len(smis)))])),
+            f(mol_from_smiles(smis[int(rng.integers(len(smis)))])),
+            np.float32(rng.integers(0, 2)),
+        )
+    return ds
+
+
+def test_gwm_packed_padded_parity():
+    """Same weights, same molecules + supernode features: the packed GWM
+    twin (VERDICT r1 #3) reproduces the padded predictor's logits."""
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models.packed import make_packed_predictor
+
+    sfn = lambda s: supernode_features(mol_from_smiles(s))
+    ds = _pair_ds()
+    padded = make_batch(ds, list(range(len(ds))), supernode_fn=sfn)
+    pred = GWMPairPredictor(
+        encoder=GGNN_GWM(out_dim=8, hidden_dim=8, hidden_dim_super=8,
+                         n_layers=3, weight_tying=False, name="encoder"),
+        head=HolEHead(out_dim=1, hidden_dims=(), name="head"),
+    )
+    args = (jnp.asarray(padded.atoms1), jnp.asarray(padded.adj1),
+            jnp.asarray(padded.atoms2), jnp.asarray(padded.adj2),
+            jnp.asarray(padded.mask1), jnp.asarray(padded.mask2),
+            jnp.asarray(padded.super1), jnp.asarray(padded.super2))
+    variables = pred.init(jax.random.PRNGKey(0), *args)
+    logits_padded = pred.apply(variables, *args)
+
+    packed = pack_pair_dataset_batch(ds, list(range(len(ds))),
+                                     supernode_fn=sfn)
+    assert packed.supers is not None
+    ppred = make_packed_predictor(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=3, weight_tying=False,
+        sim_method="hole", method="ggnn-gwm",
+    )
+    logits_packed = ppred.apply(
+        variables,
+        jnp.asarray(packed.atom_ids), jnp.asarray(packed.adj),
+        jnp.asarray(packed.supers), jnp.asarray(packed.mol_id),
+        jnp.asarray(packed.node_mask), jnp.asarray(packed.left_index),
+        jnp.asarray(packed.right_index),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_packed), np.asarray(logits_padded),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_gwm_packed_trainer_end_to_end(tmp_path):
+    """GWM trains end-to-end on the dense packed fast path."""
+    from gcnbmp_tpu.train import TrainConfig, Trainer
+
+    rng = np.random.default_rng(0)
+    f = GGNNFeaturizer()
+    oxy = ["CCO", "CC(=O)O", "OCCO", "COC"]
+    nox = ["CC", "CCC", "c1ccccc1", "CCN"]
+    ds = PairDataset()
+    for _ in range(32):
+        if rng.random() < 0.5:
+            s1, s2, y = rng.choice(oxy), rng.choice(oxy), 1.0
+        else:
+            s1, s2, y = rng.choice(nox), rng.choice(oxy + nox), 0.0
+        ds.append(f(mol_from_smiles(s1)), f(mol_from_smiles(s2)), np.float32(y))
+    cfg = TrainConfig(
+        method="ggnn-gwm", sim_method="hole", fp_hidden_dim=8, fp_out_dim=8,
+        conv_layers=2, batch_size=8, learning_rate=5e-3, epochs=8,
+        early_stop_patience=100, out_dir=str(tmp_path / "gwm_packed"),
+        snapshot_interval=100, seed=0, plot_reports=False,
+        compute_path="packed",
+    )
+    result = Trainer(cfg, ds, val_ds=ds).fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert np.isfinite(log[-1]["val/roc_auc"])

@@ -50,7 +50,7 @@ def test_packed_training_learns(tmp_path, path):
     assert log[-1]["train/roc_auc"] > 0.8
 
 
-@pytest.mark.parametrize("method", ["relgcn", "gin"])
+@pytest.mark.parametrize("method", ["relgcn", "gin", "mpnn"])
 def test_coo_training_learns_relgcn_gin(tmp_path, method):
     """RelGCN/GIN ride the packed COO fast path end-to-end (the new
     PackedRelGCN/PackedGIN encoders)."""

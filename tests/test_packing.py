@@ -159,7 +159,7 @@ def test_packed_padded_parity_relgcn_gin():
     ds = _dataset()
     padded = make_batch(ds, list(range(len(ds))))
     packed = pack_pair_dataset_batch(ds, list(range(len(ds))))
-    for method in ("relgcn", "gin", "nfp"):
+    for method in ("relgcn", "gin", "nfp", "mpnn"):
         pred = set_up_predictor(
             method=method, fp_hidden_dim=8, fp_out_dim=8, conv_layers=3,
             weight_tying=False, sim_method="hole",
