@@ -62,11 +62,49 @@ DRUG_SMILES = [
 
 BATCH = 2048
 PAD_N = 48
-HIDDEN = 32
+HIDDEN = int(os.environ.get("GCNBMP_BENCH_HIDDEN", "32"))
 LAYERS = 8
 WARMUP = 3
 ITERS = 20
 CPU_ITERS = 2
+TILE = 128
+# mixed-precision sweep knob: message/GRU matmuls in bf16, f32 accumulate
+COMPUTE_DTYPE = (jnp.bfloat16
+                 if os.environ.get("GCNBMP_BENCH_BF16") == "1" else None)
+# stage the adjacency bf16 in HBM (exact for 0/1 bond counts) — halves
+# the per-layer re-read of the step's biggest tensor
+ADJ_BF16 = os.environ.get("GCNBMP_BENCH_ADJ_BF16") == "1"
+
+# ---------------------------------------------------------------------------
+# Speed-of-light model (VERDICT r1 #1)
+#
+# Peak: TPU v5e MXU, 197 TFLOP/s bf16 with f32 accumulation (public Cloud
+# figure).  f32 matmuls decompose into multiple bf16 passes, so 197e12 is
+# the hardware ceiling any precision is judged against.
+V5E_PEAK_FLOPS = 197e12
+
+
+def step_flops(num_tiles: int, num_real_atoms: float, num_edges: float,
+               hidden: int, layers: int = LAYERS, tile: int = TILE):
+    """(dense, useful) FLOPs for one packed GGNN fwd+bwd train step.
+
+    Dense = FLOPs of the matmuls actually executed per layer on the
+    packed layout (rows = num_tiles*tile):
+      message linear (rows,H)@(H,4H)            8*H^2        per row
+      aggregation    (rows,4T)@(4T,H)           8*T*H        per row
+      GRU 3x(rows,2H)@(2H,H) + 3x(rows,H)@(H,H) 18*H^2       per row
+    Useful = the mathematically required subset: message/GRU FLOPs on
+    REAL atoms only, aggregation FLOPs on REAL directed edges only (each
+    edge is one length-H MAC row; everything else in the (T,4T) tile
+    matmul multiplies structural zeros).
+    Backward doubles the matmul work (dX and dW) -> x3 total.  Embedding,
+    readout, HolE head, loss and Adam are excluded (<2% of the total).
+    """
+    rows = num_tiles * tile
+    dense_fwd = layers * rows * (26 * hidden * hidden + 8 * tile * hidden)
+    useful_fwd = layers * (num_real_atoms * 26 * hidden * hidden
+                           + num_edges * 2 * hidden)
+    return 3.0 * dense_fwd, 3.0 * useful_fwd
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_cache.json")
 
 
@@ -149,7 +187,7 @@ def build_packed_step():
 
     predictor = make_packed_predictor(
         fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
-        weight_tying=False, sim_method="hole",
+        weight_tying=False, sim_method="hole", compute_dtype=COMPUTE_DTYPE,
     )
     optimizer = optax.adam(1e-3)
 
@@ -178,8 +216,9 @@ def measure_packed(device, iters):
     packed = pack_pair_dataset_batch(ds, list(range(BATCH)))
     predictor, optimizer, step = build_packed_step()
     put = lambda x: jax.device_put(jnp.asarray(x), device)
+    adj = (np.asarray(packed.adj, jnp.bfloat16) if ADJ_BF16 else packed.adj)
     args = (
-        put(packed.atom_ids), put(packed.adj), put(packed.mol_id),
+        put(packed.atom_ids), put(adj), put(packed.mol_id),
         put(packed.node_mask), put(packed.left_index), put(packed.right_index),
     )
     y = put(packed.labels)
@@ -195,7 +234,8 @@ def measure_packed(device, iters):
     assert np.isfinite(float(loss))
     dt = (time.perf_counter() - t0) / iters
     edges = float(packed.num_edges)
-    return edges / dt, dt, edges, packed.occupancy, packed.num_tiles
+    atoms = float(np.sum(packed.node_mask))
+    return edges / dt, dt, edges, packed.occupancy, packed.num_tiles, atoms
 
 
 def measure_fused(device, iters):
@@ -359,12 +399,13 @@ def measure_packed_scan(device, iters):
     packed = pack_pair_dataset_batch(ds, list(range(BATCH)))
     predictor = make_packed_predictor(
         fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
-        weight_tying=False, sim_method="hole",
+        weight_tying=False, sim_method="hole", compute_dtype=COMPUTE_DTYPE,
     )
     optimizer = optax.adam(1e-3)
     put = lambda x: jax.device_put(jnp.asarray(x), device)
+    adj = (np.asarray(packed.adj, jnp.bfloat16) if ADJ_BF16 else packed.adj)
     args = (
-        put(packed.atom_ids), put(packed.adj), put(packed.mol_id),
+        put(packed.atom_ids), put(adj), put(packed.mol_id),
         put(packed.node_mask), put(packed.left_index), put(packed.right_index),
     )
     y = put(packed.labels)
@@ -485,7 +526,7 @@ def main():
     eps_pad, dt_pad, edges = measure(device, ITERS)
     print(f"# padded: step {dt_pad*1e3:.2f} ms, {edges:.0f} edges/batch, "
           f"{eps_pad/1e6:.1f}M edges/s", file=sys.stderr)
-    eps_pk, dt_pk, edges_pk, occ, tiles = measure_packed(device, ITERS)
+    eps_pk, dt_pk, edges_pk, occ, tiles, atoms = measure_packed(device, ITERS)
     print(f"# packed: step {dt_pk*1e3:.2f} ms, {edges_pk:.0f} edges/batch, "
           f"{tiles} tiles, occupancy {occ:.2f}, {eps_pk/1e6:.1f}M edges/s",
           file=sys.stderr)
@@ -508,6 +549,18 @@ def main():
     eps_scan, dt_scan, _ = measure_packed_scan(device, ITERS)
     print(f"# packed scan x{SCAN_STEPS}: step {dt_scan*1e3:.2f} ms, "
           f"{eps_scan/1e6:.1f}M edges/s", file=sys.stderr)
+    # + bf16 matmuls (f32 accumulation): the headline training config —
+    # quality-validated at reference scale (test AUROC 0.9639 bf16 vs
+    # 0.9641 f32 on synth546 isc35000; docs/QUALITY.md)
+    global COMPUTE_DTYPE
+    saved_dtype = COMPUTE_DTYPE
+    COMPUTE_DTYPE = jnp.bfloat16
+    try:
+        eps_scan16, dt_scan16, _ = measure_packed_scan(device, ITERS)
+        print(f"# packed scan x{SCAN_STEPS} bf16: step {dt_scan16*1e3:.2f} ms, "
+              f"{eps_scan16/1e6:.1f}M edges/s", file=sys.stderr)
+    finally:
+        COMPUTE_DTYPE = saved_dtype
     eps_fu = 0.0
     if os.environ.get("GCNBMP_BENCH_FUSED") == "1":
         # the fused kernel compiles ~10 min through the remote tunnel and
@@ -519,14 +572,40 @@ def main():
                   f"{eps_fu/1e6:.1f}M edges/s", file=sys.stderr)
         except Exception as e:  # pallas unsupported on this backend
             print(f"# fused pallas: skipped ({type(e).__name__})", file=sys.stderr)
-    eps = max(eps_pad, eps_pk, eps_fu, eps_scan)
+    eps = max(eps_pad, eps_pk, eps_fu, eps_scan, eps_scan16)
     cpu_eps = cpu_baseline()
     vs = eps / (8.0 * cpu_eps) if cpu_eps else None
+
+    # ---- MFU / speed-of-light accounting (VERDICT r1 #1): judge the best
+    # step against the v5e MXU ceiling, with both the dense-op FLOP count
+    # (hardware utilization) and the useful-FLOP count (real atoms/edges
+    # only — the structural-zero multiplies in the (T,4T) aggregation
+    # tiles are excluded)
+    best_dt = edges_pk / eps
+    dense_fl, useful_fl = step_flops(tiles, atoms, edges_pk, HIDDEN)
+    tflops_dense = dense_fl / best_dt / 1e12
+    tflops_useful = useful_fl / best_dt / 1e12
+    mfu_dense = tflops_dense / (V5E_PEAK_FLOPS / 1e12)
+    mfu_useful = tflops_useful / (V5E_PEAK_FLOPS / 1e12)
+    sol_ms = dense_fl / V5E_PEAK_FLOPS * 1e3
+    print(f"# mfu: dense {dense_fl/1e9:.1f} GFLOP/step -> "
+          f"{tflops_dense:.2f} TFLOP/s ({mfu_dense*100:.2f}% of 197 TF peak); "
+          f"useful {useful_fl/1e9:.1f} GFLOP -> {tflops_useful:.2f} TFLOP/s "
+          f"({mfu_useful*100:.2f}%); MXU-SoL step {sol_ms:.3f} ms "
+          f"vs measured {best_dt*1e3:.2f} ms", file=sys.stderr)
     print(json.dumps({
         "metric": "edges_per_s_per_chip_ggnn_fwdbwd",
         "value": round(eps),
         "unit": "edges/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "hidden": HIDDEN,
+        "step_ms": round(best_dt * 1e3, 3),
+        "dense_gflop_per_step": round(dense_fl / 1e9, 2),
+        "useful_gflop_per_step": round(useful_fl / 1e9, 2),
+        "tflops_dense": round(tflops_dense, 3),
+        "mfu": round(mfu_dense, 5),
+        "mfu_useful": round(mfu_useful, 5),
+        "sol_step_ms": round(sol_ms, 4),
     }))
 
 

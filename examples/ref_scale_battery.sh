@@ -34,6 +34,8 @@ run () {  # run OUTDIR [train.py extra args...]
 
 run ref_scale       --sim-method hole                 # flagship (DDI.md:6)
 run ref_scale_scan  --sim-method hole --scan-steps 10 # headline scan mode
+# round-2 headline: scan + bf16 matmuls (f32 accumulation)
+run ref_scale_bf16scan --sim-method hole --scan-steps 10 --compute-dtype bfloat16
 run ref_scale_alter --sim-method hole --attn alter    # RECORD.txt:201
 run ref_scale_para  --sim-method ntn  --attn para     # RECORD.txt:209
 run ref_scale_nie   --sim-method ntn  --attn nie      # RECORD.txt:250
@@ -46,8 +48,25 @@ run ref_scale_bimpm --sim-method ntn  --attn bimpm
 run ref_scale_relgcn --method relgcn --sim-method hole
 run ref_scale_gin    --method gin    --sim-method hole
 
-# MPNN (EdgeNet messages + Set2Set readout) — padded compute path,
-# 8k-pair training subset (same protocol as the GWM row)
+# MPNN (EdgeNet messages + Set2Set readout) at FULL isc35000 scale on the
+# packed COO fast path (PackedMPNN: segment-softmax Set2Set); the
+# reference-default 4 tied layers
+run ref_scale_mpnn_full --method mpnn --sim-method hole --conv-layers 4 \
+  --weight-tying true
+
+# GGNN-GWM (supernode warp) at FULL isc35000 scale on the dense packed
+# fast path (PackedGGNN_GWM: per-molecule supernode table)
+python train.py --train dataset/synth546/inter/isc35000_train.csv \
+  --val dataset/synth546/inter/ddi_inter_valid.csv \
+  --method ggnn-gwm --sim-method hole --conv-layers 4 --fp-hidden-dim 32 \
+  --fp-out-dim 32 --compute-path packed --batch-size 2048 --lr 2e-3 \
+  --epochs 40 --patience 10 --augment --no-eval-train --seed 0 \
+  --out results/ref_scale_gwm_full
+python eval.py --test dataset/synth546/inter/ddi_inter_test.csv \
+  --run results/ref_scale_gwm_full --checkpoint best \
+  --out results/ref_scale_gwm_full/eval
+
+# MPNN padded-path subset row (kept for padded<->packed cross-checks)
 python - <<'EOF'
 import pandas as pd
 df = pd.read_csv("dataset/synth546/inter/isc35000_train.csv")

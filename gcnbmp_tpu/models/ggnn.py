@@ -61,9 +61,14 @@ class GatedReadout(nn.Module):
 
 class GGNNMessage(nn.Module):
     """Edge-type-conditioned message computation + aggregation
-    (reference: models/ggnn.py:222-242, 'matrix_multiply' message fn)."""
+    (reference: models/ggnn.py:222-242, 'matrix_multiply' message fn).
+
+    ``dtype``: computation dtype for the message matmul and aggregation
+    operands (params stay f32; the aggregation accumulates in f32 via
+    preferred_element_type) — jnp.bfloat16 = mixed-precision MXU path."""
 
     hidden_dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
@@ -71,9 +76,14 @@ class GGNNMessage(nn.Module):
         # GraphLinear h -> 4h; reference reshapes to (mb, atom, ch, edge)
         # i.e. edge type is the FASTEST axis of the 4h output — kept
         # identical so weights are layout-compatible with a transcription.
-        m = GraphLinear(NUM_EDGE_TYPE * self.hidden_dim, name="message")(h)
+        m = GraphLinear(NUM_EDGE_TYPE * self.hidden_dim, dtype=self.dtype,
+                        name="message")(h)
         m = m.reshape(b, n, self.hidden_dim, NUM_EDGE_TYPE)
         m = jnp.transpose(m, (0, 3, 1, 2))  # (B, E, N, H)
+        if self.dtype is not None:
+            # adjacency entries are small integers (0/1 bond counts) —
+            # exact in bf16; keeps both aggregation operands low-precision
+            adj = adj.astype(self.dtype)
         return edge_type_aggregate(adj, m)  # (B, N, H)
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -26,16 +27,26 @@ from gcnbmp_tpu.models.readouts import CommonGGNNReadout, identity
 class GINUpdate(nn.Module):
     hidden_dim: int
     dropout_ratio: float = 0.5
+    # jnp.bfloat16 -> matmul operands bf16, f32 accumulate (params f32)
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, h: jnp.ndarray, adj: jnp.ndarray, deterministic: bool = True
     ) -> jnp.ndarray:
         a = jnp.sum(adj, axis=1)  # (B, N, N)
-        fv = jnp.einsum("bij,bjc->bic", a, h)
-        sum_h = fv + h
-        new_h = nn.relu(GraphLinear(self.hidden_dim, name="linear_g1")(sum_h))
-        new_h = GraphLinear(self.hidden_dim, name="linear_g2")(new_h)
+        if self.dtype is not None:
+            a = a.astype(self.dtype)
+            h = h.astype(self.dtype)
+        fv = jax.lax.dot_general(
+            a, h, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        sum_h = fv + h.astype(jnp.float32)
+        new_h = nn.relu(GraphLinear(self.hidden_dim, dtype=self.dtype,
+                                    name="linear_g1")(sum_h))
+        new_h = GraphLinear(self.hidden_dim, dtype=self.dtype,
+                            name="linear_g2")(new_h)
         if self.dropout_ratio > 0.0:
             new_h = nn.Dropout(rate=self.dropout_ratio, deterministic=deterministic)(new_h)
         return nn.relu(new_h)

@@ -8,7 +8,7 @@ transcribe the reference equations directly.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,10 +23,14 @@ LecunNormal = nn.initializers.lecun_normal
 
 class GraphLinear(nn.Module):
     """Linear over the last axis of (..., ch) — chainer_chemistry's
-    GraphLinear (used throughout reference models/ggnn.py)."""
+    GraphLinear (used throughout reference models/ggnn.py).
+
+    ``dtype`` is the flax computation dtype (params stay f32); set to
+    jnp.bfloat16 for mixed-precision MXU compute."""
 
     features: int
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -34,6 +38,7 @@ class GraphLinear(nn.Module):
             self.features,
             use_bias=self.use_bias,
             kernel_init=LecunNormal(),
+            dtype=self.dtype,
             name="dense",
         )(x)
 
@@ -80,12 +85,16 @@ class ChainerGRUCell(nn.Module):
     # 7.1 ms/step for the packed flagship) — XLA schedules the unmerged
     # form better — so off by default; kept for other hardware.
     merge_matmuls: bool = False
+    # flax computation dtype (params stay f32); jnp.bfloat16 for
+    # mixed-precision MXU compute
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         f = self.features
         if not self.merge_matmuls:
-            dense = lambda name: nn.Dense(f, kernel_init=LecunNormal(), name=name)
+            dense = lambda name: nn.Dense(f, kernel_init=LecunNormal(),
+                                          dtype=self.dtype, name=name)
             z = jax.nn.sigmoid(dense("W_z")(x) + dense("U_z")(h))
             r = jax.nn.sigmoid(dense("W_r")(x) + dense("U_r")(h))
             h_bar = jnp.tanh(dense("W")(x) + dense("U")(r * h))

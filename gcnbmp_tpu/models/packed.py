@@ -139,6 +139,7 @@ class PackedRelGCN(nn.Module):
     ch_list: Any = None
     n_atom_types: int = MAX_ATOMIC_NUM
     scale_adj: bool = False
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, atom_ids, adj, mol_id, node_mask, num_mols: int):
@@ -150,7 +151,8 @@ class PackedRelGCN(nn.Module):
         if self.scale_adj:
             adj = rescale_adj(adj)
         for i in range(len(chs) - 1):
-            h = jnp.tanh(RelGCNUpdate(chs[i + 1], name=f"conv_{i}")(h, adj))
+            h = jnp.tanh(RelGCNUpdate(chs[i + 1], dtype=self.compute_dtype,
+                                      name=f"conv_{i}")(h, adj))
         g_nodes = PackedCommonReadout(
             self.out_dim, nobias=True, activation=jnp.tanh, name="readout"
         )(h, None, node_mask)
@@ -174,6 +176,7 @@ class PackedGIN(nn.Module):
     n_atom_types: int = MAX_ATOMIC_NUM
     dropout_ratio: float = 0.0
     weight_tying: bool = True
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, atom_ids, adj, mol_id, node_mask, num_mols: int):
@@ -183,7 +186,8 @@ class PackedGIN(nn.Module):
         h0 = h
         n_message = 1 if self.weight_tying else self.n_layers
         updates = [
-            GINUpdate(self.hidden_dim, self.dropout_ratio, name=f"update_{i}")
+            GINUpdate(self.hidden_dim, self.dropout_ratio,
+                      dtype=self.compute_dtype, name=f"update_{i}")
             for i in range(n_message)
         ]
         for step in range(self.n_layers):
@@ -668,8 +672,9 @@ def make_packed_predictor(
     head_kwargs: Dict[str, Any] = {"out_dim": class_num}
     if sim_method in ("hole", "mlp", "symmlp", "ntn", "dist-mult"):
         head_kwargs["hidden_dims"] = tuple(net_hidden_dims)
-    if compute_dtype is not None and method != "ggnn":
-        raise ValueError("compute_dtype is plumbed for the GGNN encoder only")
+    if compute_dtype is not None and method not in ("ggnn", "relgcn", "gin"):
+        raise ValueError(
+            "compute_dtype is plumbed for ggnn/relgcn/gin encoders only")
     if method == "ggnn-gwm":
         # dense packed layout only: supernode features ride the batch as a
         # (num_mols, F) table (PackedGraphBatch.supers)
@@ -697,12 +702,13 @@ def make_packed_predictor(
     elif method == "relgcn":
         encoder = PackedRelGCN(
             out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
-            name="encoder",
+            compute_dtype=compute_dtype, name="encoder",
         )
     elif method == "gin":
         encoder = PackedGIN(
             out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
-            weight_tying=weight_tying, name="encoder",
+            weight_tying=weight_tying, compute_dtype=compute_dtype,
+            name="encoder",
         )
     elif method == "nfp":
         encoder = PackedNFP(

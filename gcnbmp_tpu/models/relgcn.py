@@ -31,15 +31,20 @@ def rescale_adj(adj: jnp.ndarray) -> jnp.ndarray:
 
 class RelGCNUpdate(nn.Module):
     out_channels: int
+    # jnp.bfloat16 -> matmul operands bf16, f32 accumulate (params f32)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
         b, n, _ = h.shape
-        hs = GraphLinear(self.out_channels, name="self")(h)
-        m = GraphLinear(self.out_channels * NUM_EDGE_TYPE, name="edge")(h)
+        hs = GraphLinear(self.out_channels, dtype=self.dtype, name="self")(h)
+        m = GraphLinear(self.out_channels * NUM_EDGE_TYPE, dtype=self.dtype,
+                        name="edge")(h)
         # reference layout: (mb, node, out_ch, edge) -> (mb, edge, node, out_ch)
         m = m.reshape(b, n, self.out_channels, NUM_EDGE_TYPE)
         m = jnp.transpose(m, (0, 3, 1, 2))
+        if self.dtype is not None:
+            adj = adj.astype(self.dtype)
         return hs + edge_type_aggregate(adj, m)
 
 

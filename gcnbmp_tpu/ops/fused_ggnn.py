@@ -66,6 +66,21 @@ MERGE_GATES = False
 # adjacency pre-flattened to (K, T, 4T).
 AGG_FLAT = True
 
+# Experimental: run every kernel matmul with bf16 operands (f32
+# accumulation via preferred_element_type) — the MXU's native precision.
+# Env-gated for bench sweeps; gradients get bf16-operand rounding, so
+# the strict VJP parity tests require the default f32.
+import os as _os
+
+MATMUL_BF16 = _os.environ.get("GCNBMP_FUSED_BF16") == "1"
+
+
+def _mm(a, b):
+    if MATMUL_BF16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
 
 def _layer_fwd(k_tiles, h, state, adj, wmsg, bmsg,
                wz, uz, bz, wr, ur, br, wn, un, bn):
@@ -74,7 +89,7 @@ def _layer_fwd(k_tiles, h, state, adj, wmsg, bmsg,
     adj: (K, T, 4T) flattened (AGG_FLAT) or (K, 4, T, T), f32."""
     t = TILE
     hw = [
-        jnp.dot(h, wmsg[e], preferred_element_type=jnp.float32) + bmsg[e]
+        _mm(h, wmsg[e]) + bmsg[e]
         for e in range(NUM_EDGE_TYPE)
     ]  # 4 x (KT, H)
     m_parts = []
@@ -83,13 +98,11 @@ def _layer_fwd(k_tiles, h, state, adj, wmsg, bmsg,
             hw_stack = jnp.concatenate(
                 [hw[e][k * t:(k + 1) * t] for e in range(NUM_EDGE_TYPE)], axis=0
             )  # (4T, H)
-            m_k = jnp.dot(adj[k], hw_stack, preferred_element_type=jnp.float32)
+            m_k = _mm(adj[k], hw_stack)
         else:
-            m_k = jnp.dot(adj[k, 0], hw[0][k * t:(k + 1) * t],
-                          preferred_element_type=jnp.float32)
+            m_k = _mm(adj[k, 0], hw[0][k * t:(k + 1) * t])
             for e in range(1, NUM_EDGE_TYPE):
-                m_k = m_k + jnp.dot(adj[k, e], hw[e][k * t:(k + 1) * t],
-                                    preferred_element_type=jnp.float32)
+                m_k = m_k + _mm(adj[k, e], hw[e][k * t:(k + 1) * t])
         m_parts.append(m_k)
     m = jnp.concatenate(m_parts, axis=0)  # (KT, H)
     x = jnp.concatenate([h, m], axis=-1)
@@ -97,26 +110,26 @@ def _layer_fwd(k_tiles, h, state, adj, wmsg, bmsg,
     if MERGE_GATES:
         wzrn = jnp.concatenate([wz, wr, wn], axis=1)  # (2H, 3H)
         uzr = jnp.concatenate([uz, ur], axis=1)       # (H, 2H)
-        gx = jnp.dot(x, wzrn, preferred_element_type=jnp.float32)
-        gs = jnp.dot(state, uzr, preferred_element_type=jnp.float32)
+        gx = _mm(x, wzrn)
+        gs = _mm(state, uzr)
         z = jax.nn.sigmoid(gx[:, :hidden] + gs[:, :hidden] + bz)
         r = jax.nn.sigmoid(gx[:, hidden:2 * hidden] + gs[:, hidden:] + br)
         n = jnp.tanh(
             gx[:, 2 * hidden:]
-            + jnp.dot(r * state, un, preferred_element_type=jnp.float32) + bn
+            + _mm(r * state, un) + bn
         )
     else:
         z = jax.nn.sigmoid(
-            jnp.dot(x, wz, preferred_element_type=jnp.float32)
-            + jnp.dot(state, uz, preferred_element_type=jnp.float32) + bz
+            _mm(x, wz)
+            + _mm(state, uz) + bz
         )
         r = jax.nn.sigmoid(
-            jnp.dot(x, wr, preferred_element_type=jnp.float32)
-            + jnp.dot(state, ur, preferred_element_type=jnp.float32) + br
+            _mm(x, wr)
+            + _mm(state, ur) + br
         )
         n = jnp.tanh(
-            jnp.dot(x, wn, preferred_element_type=jnp.float32)
-            + jnp.dot(r * state, un, preferred_element_type=jnp.float32) + bn
+            _mm(x, wn)
+            + _mm(r * state, un) + bn
         )
     return z * n + (1.0 - z) * state, (m, x, z, r, n)
 
@@ -182,29 +195,26 @@ def _bwd_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref, bmsg_ref,
         dstate = dh * (1.0 - z)
         dn_pre = dn * (1.0 - n * n)
         dz_pre = dz * z * (1.0 - z)
-        drs = jnp.dot(dn_pre, un_ref[:].T, preferred_element_type=jnp.float32)
+        drs = _mm(dn_pre, un_ref[:].T)
         dr = drs * state
         dstate = dstate + drs * r
         dr_pre = dr * r * (1.0 - r)
         dx = (
-            jnp.dot(dz_pre, wz_ref[:].T, preferred_element_type=jnp.float32)
-            + jnp.dot(dr_pre, wr_ref[:].T, preferred_element_type=jnp.float32)
-            + jnp.dot(dn_pre, wn_ref[:].T, preferred_element_type=jnp.float32)
+            _mm(dz_pre, wz_ref[:].T)
+            + _mm(dr_pre, wr_ref[:].T)
+            + _mm(dn_pre, wn_ref[:].T)
         )
         dh_in = dx[:, :hidden]
         dm = dx[:, hidden:2 * hidden]
-        dstate = dstate + jnp.dot(
-            dz_pre, uz_ref[:].T, preferred_element_type=jnp.float32
-        ) + jnp.dot(dr_pre, ur_ref[:].T, preferred_element_type=jnp.float32)
+        dstate = dstate + _mm(dz_pre, uz_ref[:].T) + _mm(dr_pre, ur_ref[:].T)
 
         # GRU weight grads (batched over the whole K*T block)
-        dwz_ref[...] += jnp.dot(x.T, dz_pre, preferred_element_type=jnp.float32)
-        dwr_ref[...] += jnp.dot(x.T, dr_pre, preferred_element_type=jnp.float32)
-        dwn_ref[...] += jnp.dot(x.T, dn_pre, preferred_element_type=jnp.float32)
-        duz_ref[...] += jnp.dot(state.T, dz_pre, preferred_element_type=jnp.float32)
-        dur_ref[...] += jnp.dot(state.T, dr_pre, preferred_element_type=jnp.float32)
-        dun_ref[...] += jnp.dot((r * state).T, dn_pre,
-                                preferred_element_type=jnp.float32)
+        dwz_ref[...] += _mm(x.T, dz_pre)
+        dwr_ref[...] += _mm(x.T, dr_pre)
+        dwn_ref[...] += _mm(x.T, dn_pre)
+        duz_ref[...] += _mm(state.T, dz_pre)
+        dur_ref[...] += _mm(state.T, dr_pre)
+        dun_ref[...] += _mm((r * state).T, dn_pre)
         dbz_ref[...] += jnp.sum(dz_pre, axis=0, keepdims=True)
         dbr_ref[...] += jnp.sum(dr_pre, axis=0, keepdims=True)
         dbn_ref[...] += jnp.sum(dn_pre, axis=0, keepdims=True)
@@ -214,34 +224,28 @@ def _bwd_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref, bmsg_ref,
             # dhw_stack_k = adj_flat[k]^T @ dm_k : ONE (4T, T) x (T, H)
             # matmul per tile; per-edge rows are sublane-aligned slices
             dhw_stacks = [
-                jnp.dot(adj[k].T, dm[k * t:(k + 1) * t],
-                        preferred_element_type=jnp.float32)  # (4T, H)
+                _mm(adj[k].T, dm[k * t:(k + 1) * t])  # (4T, H)
                 for k in range(k_tiles)
             ]
             for e in range(NUM_EDGE_TYPE):
                 dhw_e = jnp.concatenate(
                     [s[e * t:(e + 1) * t] for s in dhw_stacks], axis=0
                 )  # (KT, H)
-                dwmsg_ref[l, e] += jnp.dot(h_in.T, dhw_e,
-                                           preferred_element_type=jnp.float32)
+                dwmsg_ref[l, e] += _mm(h_in.T, dhw_e)
                 dbmsg_ref[l, e] += jnp.sum(dhw_e, axis=0, keepdims=True)
-                dh_in = dh_in + jnp.dot(dhw_e, wmsg_ref[l, e].T,
-                                        preferred_element_type=jnp.float32)
+                dh_in = dh_in + _mm(dhw_e, wmsg_ref[l, e].T)
         else:
             for e in range(NUM_EDGE_TYPE):
                 dhw_e = jnp.concatenate(
                     [
-                        jnp.dot(adj[k, e].T, dm[k * t:(k + 1) * t],
-                                preferred_element_type=jnp.float32)
+                        _mm(adj[k, e].T, dm[k * t:(k + 1) * t])
                         for k in range(k_tiles)
                     ],
                     axis=0,
                 )  # (KT, H)
-                dwmsg_ref[l, e] += jnp.dot(h_in.T, dhw_e,
-                                           preferred_element_type=jnp.float32)
+                dwmsg_ref[l, e] += _mm(h_in.T, dhw_e)
                 dbmsg_ref[l, e] += jnp.sum(dhw_e, axis=0, keepdims=True)
-                dh_in = dh_in + jnp.dot(dhw_e, wmsg_ref[l, e].T,
-                                        preferred_element_type=jnp.float32)
+                dh_in = dh_in + _mm(dhw_e, wmsg_ref[l, e].T)
         # for l >= 1, state IS this layer's input tensor
         dh = dh_in + (dstate if l > 0 else 0.0)
 

@@ -670,10 +670,11 @@ class Trainer:
                 method=cfg.method,
                 # bfloat16: message/GRU matmuls on the MXU in bf16 with
                 # f32 accumulation (measured +21-40% on the v5e; params
-                # and the head stay f32).  GGNN-only plumbing so far.
+                # and the head stay f32).
                 compute_dtype=(
                     jnp.bfloat16
-                    if cfg.compute_dtype == "bfloat16" and cfg.method == "ggnn"
+                    if cfg.compute_dtype == "bfloat16"
+                    and cfg.method in ("ggnn", "relgcn", "gin")
                     else None
                 ),
             )

@@ -1,0 +1,164 @@
+"""One-process TPU perf sweep over (hidden width x precision x path).
+
+Usage:  python scripts/tpu_sweep.py packed32 bf16_32 packed64 ...
+        (no args = the standard width/precision grid, packed paths only)
+
+Each config re-uses bench.py's measurement harness with its module
+globals re-pointed, runs on the default device (the real TPU under the
+driver), and appends one JSON line per row to docs/SWEEPS_r02.jsonl.
+Remote compiles cost 1-3 min per distinct shape — run in background.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import bench
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "docs", "SWEEPS_r02.jsonl")
+
+
+def emit(row):
+    row["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
+def run_packed(name, hidden, dtype, adj_bf16=False):
+    bench.HIDDEN = hidden
+    bench.COMPUTE_DTYPE = dtype
+    bench.ADJ_BF16 = adj_bf16
+    device = jax.devices()[0]
+    eps, dt, edges, occ, tiles, atoms = bench.measure_packed(device, bench.ITERS)
+    dense, useful = bench.step_flops(tiles, atoms, edges, hidden)
+    emit({
+        "config": name, "path": "packed", "hidden": hidden,
+        "dtype": "bf16" if dtype is not None else "f32",
+        "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+        "mfu": round(dense / dt / bench.V5E_PEAK_FLOPS, 5),
+        "mfu_useful": round(useful / dt / bench.V5E_PEAK_FLOPS, 5),
+    })
+
+
+def run_scan(name, hidden, dtype, adj_bf16=False):
+    bench.HIDDEN = hidden
+    bench.COMPUTE_DTYPE = dtype
+    bench.ADJ_BF16 = adj_bf16
+    device = jax.devices()[0]
+    eps, dt, edges = bench.measure_packed_scan(device, bench.ITERS)
+    # tiles/atoms identical to the packed batch (same dataset/pack)
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+
+    packed = pack_pair_dataset_batch(bench.build_dataset(),
+                                     list(range(bench.BATCH)))
+    import numpy as np
+
+    dense, useful = bench.step_flops(
+        packed.num_tiles, float(np.sum(packed.node_mask)), edges, hidden)
+    emit({
+        "config": name, "path": "scan", "hidden": hidden,
+        "dtype": "bf16" if dtype is not None else "f32",
+        "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+        "mfu": round(dense / dt / bench.V5E_PEAK_FLOPS, 5),
+        "mfu_useful": round(useful / dt / bench.V5E_PEAK_FLOPS, 5),
+    })
+
+
+def run_circ(name="circ"):
+    """Micro-bench of the two circular-correlation forms (VERDICT r1 #7):
+    fwd+bwd at B=2048 over D in {16,32,64,128}."""
+    import numpy as np
+
+    from gcnbmp_tpu.ops.circular import (
+        circular_correlation,
+        circular_correlation_matmul,
+    )
+
+    device = jax.devices()[0]
+    b = 2048
+    rows = {}
+    for d in (16, 32, 64, 128):
+        a = jax.device_put(jnp.asarray(
+            np.random.default_rng(0).normal(size=(b, d)).astype(np.float32)
+        ), device)
+        c = jax.device_put(jnp.asarray(
+            np.random.default_rng(1).normal(size=(b, d)).astype(np.float32)
+        ), device)
+        for label, fn in (("rfft", circular_correlation),
+                          ("matmul", circular_correlation_matmul)):
+            f = jax.jit(jax.value_and_grad(
+                lambda x, y, fn=fn: jnp.sum(fn(x, y) ** 2), argnums=(0, 1)
+            ))
+            v, g = f(a, c)
+            float(v)
+            t0 = time.perf_counter()
+            n = 200
+            for _ in range(n):
+                v, g = f(a, c)
+            float(v)
+            rows[f"D{d}_{label}_us"] = round(
+                (time.perf_counter() - t0) / n * 1e6, 1
+            )
+    emit({"config": name, "path": "circ_microbench", "batch": b, **rows})
+
+
+def run_fused(name, hidden):
+    bench.HIDDEN = hidden
+    bench.COMPUTE_DTYPE = None
+    device = jax.devices()[0]
+    eps, dt, edges = bench.measure_fused(device, bench.ITERS)
+    emit({
+        "config": name, "path": "fused", "hidden": hidden, "dtype": "f32",
+        "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+    })
+
+
+CONFIGS = {
+    "packed32": lambda: run_packed("packed32", 32, None),
+    "bf16_32": lambda: run_packed("bf16_32", 32, jnp.bfloat16),
+    "packed64": lambda: run_packed("packed64", 64, None),
+    "bf16_64": lambda: run_packed("bf16_64", 64, jnp.bfloat16),
+    "packed128": lambda: run_packed("packed128", 128, None),
+    "bf16_128": lambda: run_packed("bf16_128", 128, jnp.bfloat16),
+    "scan32": lambda: run_scan("scan32", 32, None),
+    "scan_bf16_32": lambda: run_scan("scan_bf16_32", 32, jnp.bfloat16),
+    # adjacency staged bf16 in HBM (exact for 0/1 bond counts): halves the
+    # per-layer re-read of the step's biggest tensor
+    "bf16adj_32": lambda: run_packed("bf16adj_32", 32, jnp.bfloat16, True),
+    "scan_bf16adj_32": lambda: run_scan("scan_bf16adj_32", 32,
+                                        jnp.bfloat16, True),
+    "bf16adj_128": lambda: run_packed("bf16adj_128", 128, jnp.bfloat16, True),
+    "fused64": lambda: run_fused("fused64", 64),
+    "fused128": lambda: run_fused("fused128", 128),
+    "fused32": lambda: run_fused("fused32", 32),
+    "circ": run_circ,
+}
+
+DEFAULT = ["packed32", "bf16_32", "packed64", "bf16_64", "packed128",
+           "bf16_128", "scan32", "scan_bf16_32"]
+
+
+def main():
+    names = sys.argv[1:] or DEFAULT
+    for n in names:
+        print(f"== {n} ==", flush=True)
+        t0 = time.time()
+        try:
+            CONFIGS[n]()
+        except Exception as e:
+            emit({"config": n, "error": f"{type(e).__name__}: {e}"[:500]})
+        print(f"== {n} done in {time.time() - t0:.0f}s ==", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -298,3 +298,33 @@ def test_trainer_debug_checks_smoke(tmp_path):
     )
     result = Trainer(cfg, ds, None).fit()
     assert np.isfinite(result["log"][-1]["main/loss"])
+
+
+def test_packed_bf16_compute_close_to_f32():
+    """compute_dtype=bf16 (matmul operands bf16, f32 accumulation) stays
+    numerically close to the f32 path — the +21-40% v5e fast mode."""
+    import jax.numpy as jnp
+
+    ds = _dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(len(ds))))
+    args = (
+        jnp.asarray(packed.atom_ids), jnp.asarray(packed.adj),
+        jnp.asarray(packed.mol_id), jnp.asarray(packed.node_mask),
+        jnp.asarray(packed.left_index), jnp.asarray(packed.right_index),
+    )
+    for method in ("ggnn", "relgcn", "gin"):
+        f32 = make_packed_predictor(
+            fp_hidden_dim=8, fp_out_dim=8, conv_layers=3,
+            weight_tying=False, sim_method="hole", method=method,
+        )
+        variables = f32.init(jax.random.PRNGKey(0), *args)
+        ref = np.asarray(f32.apply(variables, *args))
+        bf16 = make_packed_predictor(
+            fp_hidden_dim=8, fp_out_dim=8, conv_layers=3,
+            weight_tying=False, sim_method="hole", method=method,
+            compute_dtype=jnp.bfloat16,
+        )
+        got = np.asarray(bf16.apply(variables, *args))  # same params
+        assert np.all(np.isfinite(got)), method
+        np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.05,
+                                   err_msg=method)
