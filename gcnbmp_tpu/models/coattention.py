@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gcnbmp_tpu.models.layers import GraphLinear, LecunNormal
-from gcnbmp_tpu.ops.circular import circular_correlation
+from gcnbmp_tpu.ops.circular import circular_correlation_auto
 
 COATTENTION_REGISTRY: Dict[str, Type[nn.Module]] = {}
 
@@ -173,7 +173,7 @@ class ParallelCoattention(nn.Module):
 
 @register("circ")
 class CircularParallelCoattention(nn.Module):
-    """Gate = tanh(circular_correlation(j(atom), other g)) — reference:
+    """Gate = tanh(circular_correlation_auto(j(atom), other g)) — reference:
     parallel_coattention.py:87-184."""
 
     hidden_dim: int
@@ -186,7 +186,7 @@ class CircularParallelCoattention(nn.Module):
         def side(atoms, g_other, mask):
             a = j_layer(atoms)
             gate = jnp.tanh(
-                circular_correlation(a, jnp.broadcast_to(g_other[:, None, :], a.shape))
+                circular_correlation_auto(a, jnp.broadcast_to(g_other[:, None, :], a.shape))
             )
             z = gate * a
             if mask is not None:

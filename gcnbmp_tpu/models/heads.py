@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gcnbmp_tpu.models.layers import Bilinear, LecunNormal, MLP
-from gcnbmp_tpu.ops.circular import circular_correlation
+from gcnbmp_tpu.ops.circular import circular_correlation_auto
 
 
 class HolEHead(nn.Module):
@@ -29,7 +29,7 @@ class HolEHead(nn.Module):
 
     @nn.compact
     def __call__(self, left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
-        h = circular_correlation(left, right)
+        h = circular_correlation_auto(left, right)
         return MLP(self.out_dim, self.hidden_dims, self.activation, name="mlp")(h)
 
 

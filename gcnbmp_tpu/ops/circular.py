@@ -5,17 +5,25 @@ Semantics (reference: models/link_prediction/hole.py:69-91):
 explicit real/imag FFT pairs because Chainer lacked complex support.
 
 TPU mapping: real-input FFTs via ``jnp.fft.rfft`` halve the spectrum work
-and XLA lowers them natively; for the typical feature dims here (<= a few
-hundred) the op is trivially memory-bound and fuses with the surrounding
-head MLP.  A time-domain formulation is also provided: for dim D the
-correlation equals ``corr[k] = sum_d a[d] * b[(d + k) mod D]`` which is a
-(D, D) matmul against a rolled copy of ``b`` — on TPU this hits the MXU
-and avoids FFT entirely; it wins for small D and large batch.
+and XLA lowers them natively.  A time-domain formulation is also
+provided: for dim D the correlation equals
+``corr[k] = sum_d a[d] * b[(d + k) mod D]`` — a (D, D) matmul against a
+rolled copy of ``b`` that hits the MXU and avoids FFT entirely.
+
+Measured on the v5e (fwd+bwd, B=2048, docs/SWEEPS_r02.jsonl 'circ'):
+matmul 373 us vs rfft 478 us at D=16; rfft wins from D=32 up (346 vs
+404 us at D=32; 312 vs 1661 us at D=128 — the O(D^2) gather-built
+circulant loses).  ``circular_correlation_auto`` dispatches on that
+boundary; either way the op is dispatch-latency-bound at these sizes
+(~0.3 ms against a 4.6 ms train step when fused into it: negligible).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+# measured crossover (v5e): time-domain matmul wins below this D
+MATMUL_MAX_D = 16
 
 
 def circular_correlation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -37,6 +45,15 @@ def circular_correlation_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     idx = (jnp.arange(d)[:, None] + jnp.arange(d)[None, :]) % d
     circ = b[..., idx]  # (..., D, D)
     return jnp.einsum("...d,...dk->...k", a, circ)
+
+
+def circular_correlation_auto(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Form dispatch on the measured v5e crossover: the MXU circulant
+    matmul for D <= 16, rfft otherwise (numbers in the module docstring).
+    Static shape -> the branch resolves at trace time."""
+    if a.shape[-1] <= MATMUL_MAX_D:
+        return circular_correlation_matmul(a, b)
+    return circular_correlation(a, b)
 
 
 def circular_correlation_reference(a, b):

@@ -96,19 +96,22 @@ def run_circ(name="circ"):
         ), device)
         for label, fn in (("rfft", circular_correlation),
                           ("matmul", circular_correlation_matmul)):
-            f = jax.jit(jax.value_and_grad(
-                lambda x, y, fn=fn: jnp.sum(fn(x, y) ** 2), argnums=(0, 1)
-            ))
-            v, g = f(a, c)
-            float(v)
-            t0 = time.perf_counter()
-            n = 200
-            for _ in range(n):
+            try:
+                f = jax.jit(jax.value_and_grad(
+                    lambda x, y, fn=fn: jnp.sum(fn(x, y) ** 2), argnums=(0, 1)
+                ))
                 v, g = f(a, c)
-            float(v)
-            rows[f"D{d}_{label}_us"] = round(
-                (time.perf_counter() - t0) / n * 1e6, 1
-            )
+                float(v)
+                t0 = time.perf_counter()
+                n = 200
+                for _ in range(n):
+                    v, g = f(a, c)
+                float(v)
+                rows[f"D{d}_{label}_us"] = round(
+                    (time.perf_counter() - t0) / n * 1e6, 1
+                )
+            except Exception as e:
+                rows[f"D{d}_{label}_us"] = f"{type(e).__name__}"
     emit({"config": name, "path": "circ_microbench", "batch": b, **rows})
 
 

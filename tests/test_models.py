@@ -130,6 +130,23 @@ def test_circular_correlation_matches_reference_fft():
     # MXU (time-domain) form
     got_mm = np.asarray(circular_correlation_matmul(jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(got_mm, ref2, rtol=1e-4, atol=1e-5)
+    # auto dispatch (measured v5e crossover): matmul form at D<=16,
+    # rfft above — both already proven equal to the reference math
+    from gcnbmp_tpu.ops.circular import MATMUL_MAX_D, circular_correlation_auto
+
+    got_auto = np.asarray(
+        circular_correlation_auto(jnp.asarray(a), jnp.asarray(b))
+    )
+    np.testing.assert_allclose(got_auto, ref2, rtol=1e-4, atol=1e-5)
+    assert a.shape[-1] <= MATMUL_MAX_D  # this case takes the matmul branch
+    a2 = rng.normal(size=(5, 32)).astype(np.float32)
+    b2 = rng.normal(size=(5, 32)).astype(np.float32)
+    ref32 = np.real(np.fft.ifft(
+        np.conj(np.fft.fft(a2, axis=-1)) * np.fft.fft(b2, axis=-1), axis=-1))
+    np.testing.assert_allclose(
+        np.asarray(circular_correlation_auto(jnp.asarray(a2), jnp.asarray(b2))),
+        ref32, rtol=1e-4, atol=1e-5,
+    )
 
 
 @pytest.mark.parametrize("name", sorted(HEADS))
