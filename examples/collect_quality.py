@@ -17,7 +17,12 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def main():
+    # merge into the committed evidence file: results/ is gitignored and
+    # per-round, so prior rounds' entries must survive a partial rerun
     out = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            out = json.load(f)
     for name in sorted(os.listdir(RESULTS)):
         run = os.path.join(RESULTS, name)
         found = None

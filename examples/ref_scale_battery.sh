@@ -55,12 +55,22 @@ run ref_scale_mpnn_full --method mpnn --sim-method hole --conv-layers 4 \
   --weight-tying true
 
 # GGNN-GWM (supernode warp) at FULL isc35000 scale on the dense packed
-# fast path (PackedGGNN_GWM: per-molecule supernode table)
+# fast path (PackedGGNN_GWM: per-molecule supernode table).  NOTE:
+# per-epoch val metrics ride the padded evaluator (GWM has no COO
+# layout), so val uses a 4k subsample; the final test eval is the full
+# stratified set.  Needs inter_valid_4k.csv from the subset block below.
+python - <<'EOF'
+import pandas as pd
+for split in ("valid", "test"):
+    d = pd.read_csv(f"dataset/synth546/inter/ddi_inter_{split}.csv")
+    d.sample(4000, random_state=3).to_csv(
+        f"dataset/synth546/inter/inter_{split}_4k.csv", index=False)
+EOF
 python train.py --train dataset/synth546/inter/isc35000_train.csv \
-  --val dataset/synth546/inter/ddi_inter_valid.csv \
+  --val dataset/synth546/inter/inter_valid_4k.csv \
   --method ggnn-gwm --sim-method hole --conv-layers 4 --fp-hidden-dim 32 \
   --fp-out-dim 32 --compute-path packed --batch-size 2048 --lr 2e-3 \
-  --epochs 40 --patience 10 --augment --no-eval-train --seed 0 \
+  --epochs 30 --patience 10 --augment --no-eval-train --seed 0 \
   --out results/ref_scale_gwm_full
 python eval.py --test dataset/synth546/inter/ddi_inter_test.csv \
   --run results/ref_scale_gwm_full --checkpoint best \

@@ -354,9 +354,15 @@ class GWMPairPredictor(nn.Module):
 
 def default_supernode_fn(n_super_feature: int = DEFAULT_N_SUPER_FEATURE):
     """SMILES -> supernode feature vector (zeros for unparseable/fill
-    rows); the standard supernode_fn for batchers and evaluators."""
+    rows); the standard supernode_fn for batchers and evaluators.
+    Memoized by SMILES: a DDI dataset has ~500 unique drugs but ~100k
+    pair rows, and per-epoch eval batching re-featurizes every row —
+    the cache turns that into one featurization per drug."""
+    import functools
+
     from gcnbmp_tpu.chem.smiles import mol_from_smiles
 
+    @functools.lru_cache(maxsize=None)
     def fn(smiles: str) -> np.ndarray:
         mol = mol_from_smiles(smiles) if smiles else None
         if mol is None:
