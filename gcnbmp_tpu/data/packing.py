@@ -287,6 +287,9 @@ class PackedCOOBatch:
     left_index: np.ndarray   # (B,) int32
     right_index: np.ndarray  # (B,) int32
     labels: np.ndarray       # (B,) or (B, C) float32
+    # per-molecule feature vectors in packed-mol-id order (num_mols, F);
+    # set via attach_supers_coo for supernode encoders (PackedGGNN_GWM)
+    supers: Optional[np.ndarray] = None
 
     @property
     def num_tiles(self) -> int:
@@ -352,6 +355,20 @@ class PackedCOOBatch:
             left_index=self.left_index, right_index=self.right_index,
             labels=self.labels,
         )
+
+
+def attach_supers_coo(batch: "PackedCOOBatch", ds, indices: Sequence[int],
+                      supernode_fn) -> "PackedCOOBatch":
+    """Attach per-molecule supernode features to a COO batch via its
+    pair -> mol-id maps.  Packer-agnostic: works on batches from the
+    native C++ packer too (which knows nothing about supernodes)."""
+    first = np.asarray(supernode_fn(ds.graphs1[indices[0]].smiles), np.float32)
+    supers = np.zeros((batch.num_mols, first.shape[0]), np.float32)
+    for i, pi in enumerate(indices):
+        supers[batch.left_index[i]] = supernode_fn(ds.graphs1[pi].smiles)
+        supers[batch.right_index[i]] = supernode_fn(ds.graphs2[pi].smiles)
+    batch.supers = supers
+    return batch
 
 
 def _pad_coo(e_tile, e_type, e_src, e_dst, edge_capacity: Optional[int]):

@@ -319,6 +319,40 @@ class PackedGWMPairPredictor(nn.Module):
         return logits
 
 
+class PackedGWMPairPredictorCOOCompact(nn.Module):
+    """PackedGWMPairPredictor over the wire-compact COO layout: the
+    adjacency ships as a bit-packed edge list and is scatter-built on
+    device; the supernode table rides as one (num_mols, F) array
+    (models/packed.compact_gwm_arrays).  Parameter tree identical to the
+    dense-layout and padded GWM predictors."""
+
+    encoder: nn.Module  # a PackedGGNN_GWM, name='encoder'
+    head: nn.Module     # name='head'
+    adj_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, nodes, e_packed, n_edges, supers,
+                 left_index, right_index, return_g: bool = False):
+        from gcnbmp_tpu.models.packed import decode_compact_wire
+        from gcnbmp_tpu.ops.aggregate import adj_from_coo
+
+        num_mols = 2 * left_index.shape[0]
+        (atom_ids, mol_id, node_mask, e_tile, e_type, e_src, e_dst,
+         e_mask) = decode_compact_wire(nodes, e_packed, n_edges, num_mols)
+        p, t = atom_ids.shape
+        adj = adj_from_coo(
+            e_tile, e_type, e_src, e_dst, e_mask, num_tiles=p, tile=t,
+            dtype=self.adj_dtype,
+        )
+        g, _ = self.encoder(atom_ids, adj, supers, mol_id, node_mask, num_mols)
+        g1 = jnp.take(g, left_index, axis=0)
+        g2 = jnp.take(g, right_index, axis=0)
+        logits = self.head(g1, g2)
+        if return_g:
+            return logits, g1, g2
+        return logits
+
+
 class GWMPairPredictor(nn.Module):
     """Siamese GGNN_GWM pair predictor (6-ary input incl. supernodes;
     reference train_ggnn_hole_with_gwm.py:123-194).

@@ -612,6 +612,17 @@ def compact_coo_arrays(batch) -> Tuple:
     return nodes, e_packed, n_edges, batch.left_index, batch.right_index
 
 
+def compact_gwm_arrays(batch) -> Tuple:
+    """compact_coo_arrays + the per-molecule supernode table (set by
+    data/packing.attach_supers_coo) — the wire tuple for
+    PackedGWMPairPredictorCOOCompact."""
+    nodes, e_packed, n_edges, left, right = compact_coo_arrays(batch)
+    if batch.supers is None:
+        raise ValueError("COO batch has no supernode features; build it "
+                         "with attach_supers_coo")
+    return nodes, e_packed, n_edges, batch.supers, left, right
+
+
 def fused_pair_logits(
     predictor: "PackedPairPredictor",
     params,
@@ -676,23 +687,31 @@ def make_packed_predictor(
         raise ValueError(
             "compute_dtype is plumbed for ggnn/relgcn/gin encoders only")
     if method == "ggnn-gwm":
-        # dense packed layout only: supernode features ride the batch as a
-        # (num_mols, F) table (PackedGraphBatch.supers)
-        if coo or compact or attn is not None:
+        # supernode features ride the batch as a (num_mols, F) table
+        # (PackedGraphBatch/PackedCOOBatch .supers); dense and
+        # wire-compact COO layouts
+        if (coo and not compact) or attn is not None:
             raise ValueError(
-                "ggnn-gwm packed path supports compute_path='packed' only"
+                "ggnn-gwm rides the dense packed or wire-compact COO "
+                "layouts, without co-attention"
             )
-        from gcnbmp_tpu.models.gwm import PackedGGNN_GWM, PackedGWMPairPredictor
+        from gcnbmp_tpu.models.gwm import (
+            PackedGGNN_GWM,
+            PackedGWMPairPredictor,
+            PackedGWMPairPredictorCOOCompact,
+        )
 
         head = HEADS[sim_method](name="head", **head_kwargs)
-        return PackedGWMPairPredictor(
-            encoder=PackedGGNN_GWM(
-                out_dim=fp_out_dim, hidden_dim=fp_hidden_dim,
-                hidden_dim_super=fp_hidden_dim, n_layers=conv_layers,
-                weight_tying=weight_tying, name="encoder",
-            ),
-            head=head,
+        encoder = PackedGGNN_GWM(
+            out_dim=fp_out_dim, hidden_dim=fp_hidden_dim,
+            hidden_dim_super=fp_hidden_dim, n_layers=conv_layers,
+            weight_tying=weight_tying, name="encoder",
         )
+        if compact:
+            return PackedGWMPairPredictorCOOCompact(
+                encoder=encoder, head=head, adj_dtype=adj_dtype
+            )
+        return PackedGWMPairPredictor(encoder=encoder, head=head)
     if method == "ggnn":
         encoder = PackedGGNN(
             out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,

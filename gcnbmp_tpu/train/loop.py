@@ -365,13 +365,14 @@ def scan_chunk_iterator(batches, scan_steps: int, args_fn):
 
 def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
                               num_tiles: int, edge_capacity: int,
-                              rng: np.random.Generator):
+                              rng: np.random.Generator, supernode_fn=None):
     """Shuffled COO packed batches with fixed tile/edge capacities.  Uses
     the native C++ packer (native/pack.cpp) when available — the Python
     packer costs ~200 ms/2048-pair batch vs ~7 ms device step — and falls
-    back to the Python spec implementation otherwise."""
+    back to the Python spec implementation otherwise.  ``supernode_fn``
+    attaches the per-molecule supernode table (GWM)."""
     from gcnbmp_tpu.data import native_pack
-    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+    from gcnbmp_tpu.data.packing import attach_supers_coo, pack_pair_dataset_coo
 
     cache = None
     if native_pack.native_pack_available():
@@ -384,13 +385,16 @@ def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
     for start in range(0, len(ds) - batch_size + 1, batch_size):
         idx = order[start:start + batch_size].tolist()
         if cache is not None:
-            yield native_pack.pack_pairs_native(
+            batch = native_pack.pack_pairs_native(
                 cache, idx, num_tiles=num_tiles, edge_capacity=edge_capacity
             )
         else:
-            yield pack_pair_dataset_coo(
+            batch = pack_pair_dataset_coo(
                 ds, idx, num_tiles=num_tiles, edge_capacity=edge_capacity
             )
+        if supernode_fn is not None:
+            batch = attach_supers_coo(batch, ds, idx, supernode_fn)
+        yield batch
 
 
 def make_eval_step_coo(coo_predictor):
@@ -412,12 +416,14 @@ def packed_config_problems(cfg, allow_attn: bool = False) -> List[str]:
 
     problems = []
     if cfg.method == "ggnn-gwm":
-        # the GWM packed twin rides the DENSE packed layout only: the
-        # per-molecule supernode table travels with the batch
-        if cfg.compute_path != "packed":
-            problems.append("ggnn-gwm rides compute_path='packed' only")
-        if getattr(cfg, "scan_steps", 0) > 1 or getattr(cfg, "multi_device", False):
-            problems.append("ggnn-gwm packed path: no scan / multi_device")
+        # the GWM packed twins: dense packed layout or wire-compact COO
+        # (the per-molecule supernode table travels with the batch)
+        if cfg.compute_path not in ("packed", "coo"):
+            problems.append("ggnn-gwm rides compute_path 'packed' or 'coo'")
+        if getattr(cfg, "multi_device", False):
+            problems.append("ggnn-gwm: no multi_device")
+        if getattr(cfg, "scan_steps", 0) > 1 and cfg.compute_path != "coo":
+            problems.append("ggnn-gwm scan mode requires compute_path='coo'")
     elif cfg.method not in PACKED_ENCODERS:
         problems.append(
             f"method={cfg.method!r} (only {'/'.join(PACKED_ENCODERS)}"
@@ -441,7 +447,7 @@ def packed_config_problems(cfg, allow_attn: bool = False) -> List[str]:
 
 
 def iter_coo_eval_batches(ds: PairDataset, batch_size: int, num_tiles: int,
-                          edge_capacity: int):
+                          edge_capacity: int, supernode_fn=None):
     """Sequential fixed-shape COO batches for full-dataset evaluation:
     yields (PackedCOOBatch, valid_count).  Tail batches are filled by
     repeating the dataset's SMALLEST pair (packing.smallest_pair_index)
@@ -474,12 +480,16 @@ def iter_coo_eval_batches(ds: PairDataset, batch_size: int, num_tiles: int,
             batch = pack_pair_dataset_coo(
                 ds, idx, num_tiles=num_tiles, edge_capacity=edge_capacity
             )
+        if supernode_fn is not None:
+            from gcnbmp_tpu.data.packing import attach_supers_coo
+
+            batch = attach_supers_coo(batch, ds, idx, supernode_fn)
         yield batch, valid
 
 
 def collect_logits_coo(
     eval_fn, params, ds: PairDataset, batch_size: int, num_tiles: int,
-    edge_capacity: int, args_fn=None,
+    edge_capacity: int, args_fn=None, supernode_fn=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Full-dataset logits over the COO packed layout (fixed jit shapes
     via iter_coo_eval_batches).  ``args_fn`` maps a PackedCOOBatch to the
@@ -492,7 +502,7 @@ def collect_logits_coo(
     logits_all: List[np.ndarray] = []
     labels_all: List[np.ndarray] = []
     for batch, valid in iter_coo_eval_batches(
-        ds, batch_size, num_tiles, edge_capacity
+        ds, batch_size, num_tiles, edge_capacity, supernode_fn=supernode_fn
     ):
         args = tuple(jnp.asarray(a) for a in args_fn(batch))
         out = eval_fn(params, args)
@@ -795,9 +805,12 @@ class Trainer:
                 from gcnbmp_tpu.models.packed import (
                     compact_coattn_arrays,
                     compact_coo_arrays,
+                    compact_gwm_arrays,
                 )
 
-                if cfg.attn is not None:
+                if self.uses_supernodes:
+                    coo_args_fn = compact_gwm_arrays
+                elif cfg.attn is not None:
                     n_max = max(
                         max(g.num_atoms for g in ds.graphs1)
                         for ds in eval_datasets
@@ -834,6 +847,7 @@ class Trainer:
                 return collect_logits_coo(
                     eval_step_coo, p, ds, cfg.batch_size,
                     self.num_tiles, self.edge_capacity, args_fn=coo_args_fn,
+                    supernode_fn=self.supernode_fn,
                 )
         else:
             eval_step = make_eval_step(self.predictor, self.uses_supernodes)
@@ -874,6 +888,7 @@ class Trainer:
                 batches = packed_coo_batch_iterator(
                     self.train_ds, cfg.batch_size, self.num_tiles,
                     self.edge_capacity, self.np_rng,
+                    supernode_fn=self.supernode_fn,
                 )
                 if cfg.debug_checks:
                     batches = (b.validate() for b in batches)

@@ -193,3 +193,70 @@ def test_gwm_packed_trainer_end_to_end(tmp_path):
     log = result["log"]
     assert log[-1]["main/loss"] < log[0]["main/loss"]
     assert np.isfinite(log[-1]["val/roc_auc"])
+
+
+def test_gwm_coo_compact_padded_parity():
+    """The wire-compact COO GWM predictor reproduces the padded logits
+    from identical weights (adjacency scatter-built on device; supernode
+    table attached via attach_supers_coo)."""
+    from gcnbmp_tpu.data.packing import attach_supers_coo, pack_pair_dataset_coo
+    from gcnbmp_tpu.models.packed import compact_gwm_arrays, make_packed_predictor
+
+    sfn = lambda s: supernode_features(mol_from_smiles(s))
+    ds = _pair_ds()
+    padded = make_batch(ds, list(range(len(ds))), supernode_fn=sfn)
+    pred = GWMPairPredictor(
+        encoder=GGNN_GWM(out_dim=8, hidden_dim=8, hidden_dim_super=8,
+                         n_layers=3, weight_tying=False, name="encoder"),
+        head=HolEHead(out_dim=1, hidden_dims=(), name="head"),
+    )
+    args = (jnp.asarray(padded.atoms1), jnp.asarray(padded.adj1),
+            jnp.asarray(padded.atoms2), jnp.asarray(padded.adj2),
+            jnp.asarray(padded.mask1), jnp.asarray(padded.mask2),
+            jnp.asarray(padded.super1), jnp.asarray(padded.super2))
+    variables = pred.init(jax.random.PRNGKey(0), *args)
+    logits_padded = pred.apply(variables, *args)
+
+    coo = pack_pair_dataset_coo(ds, list(range(len(ds))))
+    coo = attach_supers_coo(coo, ds, list(range(len(ds))), sfn)
+    cpred = make_packed_predictor(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=3, weight_tying=False,
+        sim_method="hole", method="ggnn-gwm", coo=True, compact=True,
+    )
+    wire = tuple(jnp.asarray(a) for a in compact_gwm_arrays(coo))
+    logits_coo = cpred.apply(variables, *wire)
+    np.testing.assert_allclose(
+        np.asarray(logits_coo), np.asarray(logits_padded),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_gwm_coo_and_scan_training(tmp_path):
+    """GWM trains end-to-end on the streaming COO path, with and without
+    scan mode (supers stacked into the lax.scan batch)."""
+    from gcnbmp_tpu.train import TrainConfig, Trainer
+
+    rng = np.random.default_rng(0)
+    f = GGNNFeaturizer()
+    oxy = ["CCO", "CC(=O)O", "OCCO", "COC"]
+    nox = ["CC", "CCC", "c1ccccc1", "CCN"]
+    ds = PairDataset()
+    for _ in range(32):
+        if rng.random() < 0.5:
+            s1, s2, y = rng.choice(oxy), rng.choice(oxy), 1.0
+        else:
+            s1, s2, y = rng.choice(nox), rng.choice(oxy + nox), 0.0
+        ds.append(f(mol_from_smiles(s1)), f(mol_from_smiles(s2)), np.float32(y))
+    for scan in (0, 2):
+        cfg = TrainConfig(
+            method="ggnn-gwm", sim_method="hole", fp_hidden_dim=8,
+            fp_out_dim=8, conv_layers=2, batch_size=8, learning_rate=5e-3,
+            epochs=6, early_stop_patience=100,
+            out_dir=str(tmp_path / f"gwm_coo_{scan}"),
+            snapshot_interval=100, seed=0, plot_reports=False,
+            compute_path="coo", scan_steps=scan,
+        )
+        result = Trainer(cfg, ds, val_ds=ds).fit()
+        log = result["log"]
+        assert log[-1]["main/loss"] < log[0]["main/loss"], scan
+        assert np.isfinite(log[-1]["val/roc_auc"]), scan
