@@ -116,12 +116,15 @@ def run_circ(name="circ"):
 
 
 def run_fused(name, hidden):
+    from gcnbmp_tpu.ops import fused_ggnn
+
     bench.HIDDEN = hidden
     bench.COMPUTE_DTYPE = None
     device = jax.devices()[0]
     eps, dt, edges = bench.measure_fused(device, bench.ITERS)
     emit({
-        "config": name, "path": "fused", "hidden": hidden, "dtype": "f32",
+        "config": name, "path": "fused", "hidden": hidden,
+        "dtype": "bf16" if fused_ggnn.MATMUL_BF16 else "f32",
         "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
     })
 
