@@ -182,6 +182,20 @@ python eval.py --test dataset/synth1704/kaist/ddi_test_multi.csv \
   --run results/kaist1704_x37 --checkpoint best \
   --labels-csv dataset/synth1704/labels.csv --out results/kaist1704_x37/eval
 
+# KAIST-scale x37 on the round-2 fast mode (bf16 matmuls + scan)
+python train.py --train dataset/synth1704/kaist/ddi_train_multi.csv \
+  --val dataset/synth1704/kaist/ddi_valid_multi.csv \
+  --labels-csv dataset/synth1704/labels.csv \
+  --method ggnn --sim-method hole --conv-layers 8 --fp-hidden-dim 32 \
+  --fp-out-dim 32 --weight-tying false --compute-path coo --batch-size 2048 \
+  --lr 2e-3 --epochs 120 --patience 25 --exp-shift-strategy 3 \
+  --compute-dtype bfloat16 --scan-steps 10 \
+  --no-eval-train --seed 0 --out results/kaist1704_x37_bf16
+python eval.py --test dataset/synth1704/kaist/ddi_test_multi.csv \
+  --run results/kaist1704_x37_bf16 --checkpoint best \
+  --labels-csv dataset/synth1704/labels.csv \
+  --out results/kaist1704_x37_bf16/eval
+
 # KAIST-scale x37 with NTN + nie fine-grained co-attention
 # (reference RECORD.txt:250 head/attn on the multi-label task)
 python train.py --train dataset/synth1704/kaist/ddi_train_multi.csv \

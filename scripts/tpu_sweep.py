@@ -74,6 +74,55 @@ def run_scan(name, hidden, dtype, adj_bf16=False):
     })
 
 
+def run_infer(name, hidden, dtype):
+    """Forward-only (serving) throughput on the packed path."""
+    import numpy as np
+    import optax
+
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models.packed import make_packed_predictor
+
+    bench.HIDDEN = hidden
+    device = jax.devices()[0]
+    ds = bench.build_dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(bench.BATCH)))
+    predictor = make_packed_predictor(
+        fp_hidden_dim=hidden, fp_out_dim=hidden, conv_layers=bench.LAYERS,
+        weight_tying=False, sim_method="hole", compute_dtype=dtype,
+    )
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    args = (
+        put(packed.atom_ids), put(packed.adj), put(packed.mol_id),
+        put(packed.node_mask), put(packed.left_index), put(packed.right_index),
+    )
+    params = jax.device_put(
+        predictor.init(jax.random.PRNGKey(0), *args)["params"], device)
+
+    @jax.jit
+    def fwd(p, noise):
+        # noise-perturbed params defeat XLA's loop-invariant hoisting
+        # (see docs/STATUS r1: scanning an identical forward measures
+        # hoisted compute, not inference)
+        p2 = jax.tree.map(lambda x: x * (1.0 + noise), p)
+        return predictor.apply({"params": p2}, *args)
+
+    out = fwd(params, jnp.float32(0.0))
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    n = 50
+    for i in range(n):
+        out = fwd(params, jnp.float32(i * 1e-9))
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / n
+    edges = float(packed.num_edges)
+    emit({
+        "config": name, "path": "infer", "hidden": hidden,
+        "dtype": "bf16" if dtype is not None else "f32",
+        "step_ms": round(dt * 1e3, 3), "edges_per_s": round(edges / dt),
+        "pairs_per_s": round(bench.BATCH / dt),
+    })
+
+
 def run_circ(name="circ"):
     """Micro-bench of the two circular-correlation forms (VERDICT r1 #7):
     fwd+bwd at B=2048 over D in {16,32,64,128}."""
@@ -148,6 +197,8 @@ CONFIGS = {
     "fused128": lambda: run_fused("fused128", 128),
     "fused32": lambda: run_fused("fused32", 32),
     "circ": run_circ,
+    "infer32": lambda: run_infer("infer32", 32, None),
+    "infer_bf16_32": lambda: run_infer("infer_bf16_32", 32, jnp.bfloat16),
 }
 
 DEFAULT = ["packed32", "bf16_32", "packed64", "bf16_64", "packed128",
