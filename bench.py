@@ -523,13 +523,22 @@ def cpu_baseline():
 def main():
     device = jax.devices()[0]
     print(f"# device: {device}", file=sys.stderr)
+    # (name, precision, edges/s, step_s, packed_family) per measured mode;
+    # the headline is the winner, tagged with its mode+precision, and the
+    # MFU accounting uses the winner's own step time (packed-family modes
+    # share the same tile/atom/edge counts)
+    modes = []
     eps_pad, dt_pad, edges = measure(device, ITERS)
     print(f"# padded: step {dt_pad*1e3:.2f} ms, {edges:.0f} edges/batch, "
           f"{eps_pad/1e6:.1f}M edges/s", file=sys.stderr)
+    modes.append(("padded", "f32", eps_pad, dt_pad, False))
     eps_pk, dt_pk, edges_pk, occ, tiles, atoms = measure_packed(device, ITERS)
     print(f"# packed: step {dt_pk*1e3:.2f} ms, {edges_pk:.0f} edges/batch, "
           f"{tiles} tiles, occupancy {occ:.2f}, {eps_pk/1e6:.1f}M edges/s",
           file=sys.stderr)
+    modes.append(
+        ("packed", "bf16" if COMPUTE_DTYPE is not None else "f32",
+         eps_pk, dt_pk, True))
     if os.environ.get("GCNBMP_BENCH_COO") == "1":
         # sustained-path diagnostic (on-device adjacency build); opt-in to
         # keep the driver's bench run fast (one fewer remote compile)
@@ -549,6 +558,9 @@ def main():
     eps_scan, dt_scan, _ = measure_packed_scan(device, ITERS)
     print(f"# packed scan x{SCAN_STEPS}: step {dt_scan*1e3:.2f} ms, "
           f"{eps_scan/1e6:.1f}M edges/s", file=sys.stderr)
+    modes.append(
+        ("scan", "bf16" if COMPUTE_DTYPE is not None else "f32",
+         eps_scan, dt_scan, True))
     # + bf16 matmuls (f32 accumulation): the headline training config —
     # quality-validated at reference scale (test AUROC 0.9639 bf16 vs
     # 0.9641 f32 on synth546 isc35000; docs/QUALITY.md)
@@ -559,9 +571,9 @@ def main():
         eps_scan16, dt_scan16, _ = measure_packed_scan(device, ITERS)
         print(f"# packed scan x{SCAN_STEPS} bf16: step {dt_scan16*1e3:.2f} ms, "
               f"{eps_scan16/1e6:.1f}M edges/s", file=sys.stderr)
+        modes.append(("scan", "bf16", eps_scan16, dt_scan16, True))
     finally:
         COMPUTE_DTYPE = saved_dtype
-    eps_fu = 0.0
     if os.environ.get("GCNBMP_BENCH_FUSED") == "1":
         # the fused kernel compiles ~10 min through the remote tunnel and
         # lands within ~5% of the packed XLA path; opt-in only so the
@@ -570,21 +582,26 @@ def main():
             eps_fu, dt_fu, _ = measure_fused(device, ITERS)
             print(f"# fused pallas: step {dt_fu*1e3:.2f} ms, "
                   f"{eps_fu/1e6:.1f}M edges/s", file=sys.stderr)
+            modes.append(("fused", "f32", eps_fu, dt_fu, True))
         except Exception as e:  # pallas unsupported on this backend
             print(f"# fused pallas: skipped ({type(e).__name__})", file=sys.stderr)
-    eps = max(eps_pad, eps_pk, eps_fu, eps_scan, eps_scan16)
+    win_name, win_prec, eps, best_dt, _ = max(modes, key=lambda m: m[2])
+    best_f32 = max((m[2] for m in modes if m[1] == "f32"), default=None)
+    best_bf16 = max((m[2] for m in modes if m[1] == "bf16"), default=None)
     cpu_eps = cpu_baseline()
     vs = eps / (8.0 * cpu_eps) if cpu_eps else None
 
     # ---- MFU / speed-of-light accounting (VERDICT r1 #1): judge the best
-    # step against the v5e MXU ceiling, with both the dense-op FLOP count
-    # (hardware utilization) and the useful-FLOP count (real atoms/edges
-    # only — the structural-zero multiplies in the (T,4T) aggregation
-    # tiles are excluded)
-    best_dt = edges_pk / eps
+    # packed-family step against the v5e MXU ceiling, with both the
+    # dense-op FLOP count (hardware utilization) and the useful-FLOP count
+    # (real atoms/edges only — the structural-zero multiplies in the
+    # (T,4T) aggregation tiles are excluded).  The MFU step time is the
+    # winning packed-family mode's own dt (packed/scan/fused modes share
+    # the packed batch's tile/atom/edge counts), never the padded mode's.
+    mfu_dt = min((m[3] for m in modes if m[4]), default=best_dt)
     dense_fl, useful_fl = step_flops(tiles, atoms, edges_pk, HIDDEN)
-    tflops_dense = dense_fl / best_dt / 1e12
-    tflops_useful = useful_fl / best_dt / 1e12
+    tflops_dense = dense_fl / mfu_dt / 1e12
+    tflops_useful = useful_fl / mfu_dt / 1e12
     mfu_dense = tflops_dense / (V5E_PEAK_FLOPS / 1e12)
     mfu_useful = tflops_useful / (V5E_PEAK_FLOPS / 1e12)
     sol_ms = dense_fl / V5E_PEAK_FLOPS * 1e3
@@ -592,13 +609,18 @@ def main():
           f"{tflops_dense:.2f} TFLOP/s ({mfu_dense*100:.2f}% of 197 TF peak); "
           f"useful {useful_fl/1e9:.1f} GFLOP -> {tflops_useful:.2f} TFLOP/s "
           f"({mfu_useful*100:.2f}%); MXU-SoL step {sol_ms:.3f} ms "
-          f"vs measured {best_dt*1e3:.2f} ms", file=sys.stderr)
-    print(json.dumps({
+          f"vs measured {mfu_dt*1e3:.2f} ms", file=sys.stderr)
+    payload = {
         "metric": "edges_per_s_per_chip_ggnn_fwdbwd",
         "value": round(eps),
         "unit": "edges/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "mode": win_name,
+        "precision": win_prec,
+        "value_f32": round(best_f32) if best_f32 else None,
+        "value_bf16": round(best_bf16) if best_bf16 else None,
         "hidden": HIDDEN,
+        "batch_pairs": BATCH,
         "step_ms": round(best_dt * 1e3, 3),
         "dense_gflop_per_step": round(dense_fl / 1e9, 2),
         "useful_gflop_per_step": round(useful_fl / 1e9, 2),
@@ -606,7 +628,17 @@ def main():
         "mfu": round(mfu_dense, 5),
         "mfu_useful": round(mfu_useful, 5),
         "sol_step_ms": round(sol_ms, 4),
-    }))
+    }
+    # persist for consumers that need the live measurement (the comm
+    # budget reads step_ms from here — parallel/commbudget.py)
+    latest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "docs", "bench_latest.json")
+    try:
+        with open(latest, "w") as f:
+            json.dump({**payload, "ts": time.time()}, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -113,8 +113,13 @@ class Mol2VecFeaturizer:
             if not self.table:
                 raise ValueError("empty table and no dim given")
             self.dim = len(next(iter(self.table.values())))
+        # copy: never mutate the caller's dict, and use the same
+        # deterministic hash-seeded UNSEEN fallback as
+        # identifier_table_from_corpus so unseen-identifier features do
+        # not depend on the construction path
+        self.table = dict(self.table)
         if UNSEEN not in self.table:
-            self.table[UNSEEN] = np.zeros(self.dim, np.float32)
+            self.table[UNSEEN] = _hash_vector(UNSEEN, self.dim, 2018)
 
     def __call__(self, mol: Mol) -> np.ndarray:
         unseen = self.table[UNSEEN]

@@ -396,12 +396,18 @@ def default_supernode_fn(n_super_feature: int = DEFAULT_N_SUPER_FEATURE):
 
     from gcnbmp_tpu.chem.smiles import mol_from_smiles
 
-    @functools.lru_cache(maxsize=None)
-    def fn(smiles: str) -> np.ndarray:
+    @functools.lru_cache(maxsize=65536)
+    def cached(smiles: str) -> np.ndarray:
         mol = mol_from_smiles(smiles) if smiles else None
         if mol is None:
-            return np.zeros((n_super_feature,), np.float32)
-        return supernode_features(mol, n_super_feature)
+            arr = np.zeros((n_super_feature,), np.float32)
+        else:
+            arr = supernode_features(mol, n_super_feature)
+        arr.setflags(write=False)  # shared across callers — keep immutable
+        return arr
+
+    def fn(smiles: str) -> np.ndarray:
+        return cached(smiles)
 
     return fn
 

@@ -19,6 +19,22 @@ efficiency bound at n devices is
 (XLA in practice overlaps the grad reduction with backward compute, so
 the realized efficiency sits between this bound and 1.)
 
+Three deployment scenarios are bounded:
+  - ICI: single-slice multi-chip — both collectives ride ICI.
+  - DCN: the worst case — both collectives ride the data-center
+    network (as if every chip were its own host).
+  - multi-host (realistic): the molecule-table psum stays INTRA-slice
+    on ICI (it is consumed by the pair-gather on the same slice), and
+    only the parameter-gradient reduction crosses hosts on DCN — a
+    hierarchical reduce (intra-slice ring + inter-host ring over the
+    per-host sum).
+
+The compute-side step time is NOT a constant: it is resolved from the
+live benchmark record (``bench.py`` writes ``docs/bench_latest.json``
+every run; the driver archives ``BENCH_r*.json`` each round), so the
+bound the dryrun prints always reflects the current measured step
+(VERDICT r2 weak #6).
+
 Bandwidth constants are single-direction per-chip values in the
 public ballpark for TPU v5e (How to Scale Your Model / Cloud docs):
 ICI ~4.5e10 B/s per link, DCN ~2.5e10 B/s per host.  They enter only a
@@ -28,15 +44,55 @@ to constant error.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from dataclasses import dataclass
+from typing import Optional, Tuple
 
 # single-direction bandwidths, bytes/s
 ICI_BW = 4.5e10   # v5e ICI, per link
 DCN_BW = 2.5e10   # per-host data-center network (200 Gbps)
 
-# measured flagship step time on the real v5e (bench.py scan mode,
-# B=2048 pairs, GGNN 8 layers h=32 untied + HolE, fwd+bwd+adam)
-MEASURED_STEP_S_B2048 = 5.8e-3
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def resolve_measured_step(
+    repo_root: str = _REPO_ROOT,
+) -> Tuple[Optional[float], Optional[int], str]:
+    """Resolve the measured flagship step time (seconds at B=2048) from
+    the freshest benchmark record on disk:
+
+      1. ``docs/bench_latest.json`` — written by every ``bench.py`` run;
+      2. the newest ``BENCH_r*.json`` — the driver's per-round archive
+         (its ``parsed`` field is bench.py's JSON line).
+
+    Returns (step_s, batch_pairs, source_label); (None, None, reason)
+    when no record exists (fresh checkout before any bench run).
+    """
+    latest = os.path.join(repo_root, "docs", "bench_latest.json")
+    if os.path.exists(latest):
+        try:
+            with open(latest) as f:
+                d = json.load(f)
+            if "step_ms" in d:
+                return d["step_ms"] * 1e-3, d.get("batch_pairs", 2048), \
+                    "docs/bench_latest.json"
+        except Exception:
+            pass
+    rounds = sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")))
+    for path in reversed(rounds):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            parsed = d.get("parsed") or {}
+            if "step_ms" in parsed:
+                return parsed["step_ms"] * 1e-3, \
+                    parsed.get("batch_pairs", 2048), os.path.basename(path)
+        except Exception:
+            continue
+    return None, None, "no benchmark record found"
 
 
 def ring_all_reduce_s(bytes_per_device: float, n: int, bw: float) -> float:
@@ -51,14 +107,18 @@ def ring_all_reduce_s(bytes_per_device: float, n: int, bw: float) -> float:
 class CommBudget:
     batch_pairs: int
     n_devices: int
+    n_hosts: int
     param_count: int
     moltable_bytes: float      # psum payload (num_mols x out_dim f32)
     grad_bytes: float          # gradient all-reduce payload
     compute_s: float           # per-step compute at this batch
+    step_source: str           # where the measured step time came from
     collective_s_ici: float    # both collectives on ICI
-    collective_s_dcn: float    # both collectives on DCN (multi-host worst case)
+    collective_s_dcn: float    # both collectives on DCN (worst case)
+    collective_s_mh: float     # psum on ICI intra-slice, grads on DCN
     efficiency_bound_ici: float
     efficiency_bound_dcn: float
+    efficiency_bound_multihost: float
 
     def row(self) -> str:
         return (
@@ -67,8 +127,11 @@ class CommBudget:
             f"{self.grad_bytes / 1e6:6.2f} MB | compute {self.compute_s * 1e3:7.2f} ms "
             f"| coll ICI {self.collective_s_ici * 1e6:8.1f} us "
             f"DCN {self.collective_s_dcn * 1e6:8.1f} us "
+            f"mh {self.collective_s_mh * 1e6:8.1f} us "
             f"| eff >= {self.efficiency_bound_ici * 100:.2f}% (ICI) / "
-            f"{self.efficiency_bound_dcn * 100:.2f}% (DCN)"
+            f"{self.efficiency_bound_dcn * 100:.2f}% (DCN) / "
+            f"{self.efficiency_bound_multihost * 100:.2f}% "
+            f"({self.n_hosts}-host)"
         )
 
 
@@ -77,16 +140,28 @@ def edgeshard_comm_budget(
     param_count: int,
     out_dim: int = 32,
     n_devices: int = 8,
-    step_s_b2048: float = MEASURED_STEP_S_B2048,
+    n_hosts: int = 2,
+    step_s_b2048: Optional[float] = None,
     ici_bw: float = ICI_BW,
     dcn_bw: float = DCN_BW,
 ) -> CommBudget:
     """Budget for one edgeshard train step at ``batch_pairs`` pairs.
 
-    Compute time scales linearly from the measured B=2048 step (the step
-    is edge-count-proportional; bench.py's measured rate).  The compute
-    side is divided across devices; the collective payloads are not (the
-    molecule table and gradients are global)."""
+    ``step_s_b2048``: measured per-step wall time at B=2048 on one chip.
+    When None it is resolved from the live benchmark record on disk
+    (resolve_measured_step).  Compute time scales linearly from that
+    step (the step is edge-count-proportional) and is divided across
+    devices; the collective payloads are not (the molecule table and
+    gradients are global)."""
+    source = "explicit"
+    if step_s_b2048 is None:
+        step_s_b2048, _, source = resolve_measured_step()
+        if step_s_b2048 is None:
+            raise RuntimeError(
+                "no measured step time available: run `python bench.py` "
+                "once (writes docs/bench_latest.json) or pass "
+                "step_s_b2048 explicitly"
+            )
     num_mols = 2 * batch_pairs
     moltable = num_mols * out_dim * 4.0
     grads = param_count * 4.0
@@ -95,30 +170,45 @@ def edgeshard_comm_budget(
                 + ring_all_reduce_s(grads, n_devices, ici_bw))
     coll_dcn = (ring_all_reduce_s(moltable, n_devices, dcn_bw)
                 + ring_all_reduce_s(grads, n_devices, dcn_bw))
+    # realistic multi-host split: the molecule table is consumed on the
+    # slice that produced it (psum over the n_local intra-slice devices,
+    # ICI); gradients reduce hierarchically — intra-slice ring on ICI,
+    # then an inter-host ring over the per-host partial sums on DCN
+    n_local = max(1, n_devices // max(1, n_hosts))
+    coll_mh = (ring_all_reduce_s(moltable, n_local, ici_bw)
+               + ring_all_reduce_s(grads, n_local, ici_bw)
+               + ring_all_reduce_s(grads, n_hosts, dcn_bw))
     return CommBudget(
         batch_pairs=batch_pairs,
         n_devices=n_devices,
+        n_hosts=n_hosts,
         param_count=param_count,
         moltable_bytes=moltable,
         grad_bytes=grads,
         compute_s=compute,
+        step_source=source,
         collective_s_ici=coll_ici,
         collective_s_dcn=coll_dcn,
+        collective_s_mh=coll_mh,
         efficiency_bound_ici=compute / (compute + coll_ici),
         efficiency_bound_dcn=compute / (compute + coll_dcn),
+        efficiency_bound_multihost=compute / (compute + coll_mh),
     )
 
 
 def print_comm_budget_table(param_count: int, out_dim: int = 32,
-                            n_devices: int = 8) -> list:
+                            n_devices: int = 8, n_hosts: int = 2) -> list:
     """The dryrun_multichip tail: per-step collective volume and the
-    derived scaling-efficiency bound at B=2048/8192 (VERDICT r1 #5)."""
+    derived scaling-efficiency bound at B=2048/8192 (VERDICT r1 #5),
+    computed from the live measured step time (VERDICT r2 weak #6)."""
     rows = []
+    step_s, _, source = resolve_measured_step()
     print("comm budget (edgeshard, zero-cut-edge tile sharding; "
-          f"params={param_count:,}):")
+          f"params={param_count:,}; step time from {source}):")
     for b in (2048, 8192):
         budget = edgeshard_comm_budget(
-            b, param_count, out_dim=out_dim, n_devices=n_devices
+            b, param_count, out_dim=out_dim, n_devices=n_devices,
+            n_hosts=n_hosts, step_s_b2048=step_s,
         )
         rows.append(budget)
         print("  " + budget.row())

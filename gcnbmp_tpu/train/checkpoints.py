@@ -71,6 +71,15 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
         # msgpack restore against the template's structure — no arbitrary
         # code execution on load (unlike the reference's Classifier pickle,
         # eval_coattention.py:430-431).
+        if (not os.path.exists(path + ".msgpack")
+                and os.path.exists(path + ".pkl")):
+            raise RuntimeError(
+                f"{path}.pkl is a legacy pickle-fallback checkpoint; the "
+                "fallback format is now flax msgpack (no code execution "
+                "on restore). Re-save the checkpoint from the run that "
+                "produced it, or load it manually with pickle at your "
+                "own risk."
+            )
         with open(path + ".msgpack", "rb") as f:
             tree = serialization.from_bytes(
                 jax.device_get(_state_to_tree(template)), f.read()

@@ -273,12 +273,27 @@ def test_comm_budget_bounds():
 
     for b in (2048, 8192):
         r = edgeshard_comm_budget(b, param_count=120_000, out_dim=32,
-                                  n_devices=8)
+                                  n_devices=8, step_s_b2048=4.63e-3)
         assert r.moltable_bytes == 2 * b * 32 * 4
         assert r.grad_bytes == 120_000 * 4
         assert r.efficiency_bound_ici >= r.efficiency_bound_dcn >= 0.8
+        # realistic multi-host split (psum intra-slice on ICI, grads on
+        # DCN) always beats the everything-on-DCN worst case (it can
+        # beat the flat-ICI bound too: the intra-slice psum ring is
+        # smaller, 2*(n_local-1)/n_local < 2*(n-1)/n)
+        assert r.efficiency_bound_multihost >= r.efficiency_bound_dcn
     # larger batches amortize the (batch-independent) grad reduction
     assert (
-        edgeshard_comm_budget(8192, 120_000).efficiency_bound_dcn
-        > edgeshard_comm_budget(2048, 120_000).efficiency_bound_dcn
+        edgeshard_comm_budget(8192, 120_000,
+                              step_s_b2048=4.63e-3).efficiency_bound_dcn
+        > edgeshard_comm_budget(2048, 120_000,
+                                step_s_b2048=4.63e-3).efficiency_bound_dcn
     )
+    # step time resolves from the live benchmark record when not given
+    # (bench_latest.json or the driver's BENCH_r*.json archive)
+    from gcnbmp_tpu.parallel.commbudget import resolve_measured_step
+
+    step_s, _, source = resolve_measured_step()
+    assert step_s is not None and 1e-5 < step_s < 1.0, (step_s, source)
+    live = edgeshard_comm_budget(2048, 120_000)
+    assert live.step_source == source
