@@ -660,6 +660,73 @@ def fused_pair_logits(
     return predictor.head.apply({"params": params["head"]}, g1, g2)
 
 
+def fused_compact_logits(
+    predictor,
+    params,
+    nodes,
+    e_packed,
+    n_edges,
+    left_index,
+    right_index,
+):
+    """``fused_pair_logits`` over the wire-compact COO batch encoding
+    (compact_coo_arrays): decodes the bit-packed edges on device,
+    scatter-builds the adjacency DIRECTLY in the fused kernel's flat
+    (P, T, 4T) layout (ops/aggregate.adj_from_coo_flat — no transpose
+    pass), and runs the message/GRU stack in the fused Pallas kernel.
+    This is the fused+COO production path: host->device traffic is the
+    compact wire tuple (~#edges ints), the dense adjacency only ever
+    exists in HBM, and the kernel reads it once per fwd/bwd instead of
+    once per layer.  Differentiable end-to-end; parameter-compatible
+    with PackedPairPredictorCOOCompact (same tree)."""
+    from gcnbmp_tpu.ops.aggregate import adj_from_coo_flat
+    from gcnbmp_tpu.ops.fused_ggnn import fused_ggnn, params_to_fused
+
+    enc: PackedGGNN = predictor.encoder
+    num_mols = 2 * left_index.shape[0]
+    (atom_ids, mol_id, node_mask, e_tile, e_type, e_src, e_dst,
+     e_mask) = decode_compact_wire(nodes, e_packed, n_edges, num_mols)
+    p, t = atom_ids.shape
+    adj_flat = adj_from_coo_flat(
+        e_tile, e_type, e_src, e_dst, e_mask, num_tiles=p, tile=t,
+        dtype=getattr(predictor, "adj_dtype", jnp.float32),
+    )
+    ep = params["encoder"]
+    h0 = jnp.take(ep["embed"]["embedding"], atom_ids, axis=0)
+    msg_w, msg_b, gru = params_to_fused(
+        ep, enc.n_layers, enc.weight_tying, enc.hidden_dim
+    )
+    h = fused_ggnn(enc.n_layers, h0, adj_flat, msg_w, msg_b, gru)
+    ro = ep["readout_0"]
+    gate = jax.nn.sigmoid(
+        jnp.concatenate([h, h0], axis=-1) @ ro["i"]["dense"]["kernel"]
+        + ro["i"]["dense"]["bias"]
+    )
+    g_nodes = gate * (h @ ro["j"]["dense"]["kernel"] + ro["j"]["dense"]["bias"])
+    g_nodes = g_nodes * node_mask[..., None]
+    g = _segment_mol_sum(g_nodes, mol_id, num_mols)
+    g1 = jnp.take(g, left_index, axis=0)
+    g2 = jnp.take(g, right_index, axis=0)
+    return predictor.head.apply({"params": params["head"]}, g1, g2)
+
+
+class FusedCompactApply:
+    """Adapter giving ``fused_compact_logits`` the ``.apply(variables,
+    *args)`` calling convention of a flax predictor, so the generic
+    train-step factories (make_packed_coo_train_step,
+    make_packed_scan_train_step) route through the fused Pallas kernel
+    unchanged.  Wraps a PackedPairPredictorCOOCompact; the parameter
+    tree is that predictor's (eval/checkpointing see no difference)."""
+
+    def __init__(self, predictor: "PackedPairPredictorCOOCompact"):
+        self.predictor = predictor
+
+    def apply(self, variables, *args):
+        return fused_compact_logits(
+            self.predictor, variables["params"], *args
+        )
+
+
 PACKED_ENCODERS = ("ggnn", "relgcn", "gin", "nfp", "mpnn")
 
 

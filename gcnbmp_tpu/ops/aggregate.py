@@ -88,6 +88,29 @@ def adj_from_coo(
     return flat.reshape(num_tiles, num_edge_types, tile, tile)
 
 
+def adj_from_coo_flat(
+    e_tile: jnp.ndarray,
+    e_type: jnp.ndarray,
+    e_src: jnp.ndarray,
+    e_dst: jnp.ndarray,
+    e_mask: jnp.ndarray,
+    num_tiles: int,
+    tile: int,
+    num_edge_types: int = 4,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """adj_from_coo in the AGG_FLAT layout the fused Pallas kernel
+    consumes directly: (P, T, E*T) with adj_flat[p, i, e*T + j] =
+    adj[p, e, i, j].  One 1-D scatter-add, no transpose afterwards —
+    this is the on-device adjacency build for the fused+COO production
+    path (the dense-layout twin is adj_from_coo + a (0,2,1,3) transpose,
+    which XLA materializes as an extra HBM pass)."""
+    idx = ((e_tile * tile + e_src) * num_edge_types + e_type) * tile + e_dst
+    flat = jnp.zeros((num_tiles * tile * num_edge_types * tile,), dtype)
+    flat = flat.at[idx].add(e_mask.astype(dtype), mode="drop")
+    return flat.reshape(num_tiles, tile, num_edge_types * tile)
+
+
 def coo_bounds_check(
     e_tile: jnp.ndarray,
     e_type: jnp.ndarray,

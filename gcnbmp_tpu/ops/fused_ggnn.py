@@ -48,7 +48,16 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 NUM_EDGE_TYPE = 4
 DEFAULT_BLOCK_TILES = 16
-DEFAULT_BWD_BLOCK_TILES = 4
+# Backward K blocking: raising K batches the GRU/message matmuls over
+# more rows per grid step (fewer small dispatches).  The VMEM bound per
+# grid step is the adjacency block (K x T x 4T f32 = K x 256 KB, double
+# buffered) + the per-layer h scratch (L x K*T x H f32) + the live
+# recompute intermediates; K=8 at L=8, h<=128 sits well inside the v5e's
+# ~16 MB VMEM and measures faster than the round-2 K=4 (see
+# docs/SWEEPS_r03.jsonl).  Override per-run with GCNBMP_FUSED_BWD_K.
+import os as _os
+
+DEFAULT_BWD_BLOCK_TILES = int(_os.environ.get("GCNBMP_FUSED_BWD_K", "8"))
 
 
 # Merge the three x-side gate matmuls into one (KT, 2H) x (2H, 3H) pass
@@ -70,8 +79,6 @@ AGG_FLAT = True
 # accumulation via preferred_element_type) — the MXU's native precision.
 # Env-gated for bench sweeps; gradients get bf16-operand rounding, so
 # the strict VJP parity tests require the default f32.
-import os as _os
-
 MATMUL_BF16 = _os.environ.get("GCNBMP_FUSED_BF16") == "1"
 
 
@@ -262,10 +269,15 @@ def _weight_args(msg_w, msg_b, gru):
 
 def _prep_adj(adj, k_tiles):
     """Pad tiles; flatten to (P, T, 4T) when AGG_FLAT
-    (adj_flat[p, i, e*T+j] = adj[p, e, i, j])."""
+    (adj_flat[p, i, e*T+j] = adj[p, e, i, j]).  A 3-D input is already
+    in the flat layout (ops/aggregate.adj_from_coo_flat builds it
+    directly on device for the fused+COO production path)."""
     if AGG_FLAT:
-        p, e, t, _ = adj.shape
-        adj = jnp.transpose(adj, (0, 2, 1, 3)).reshape(p, t, e * t)
+        if adj.ndim == 4:
+            p, e, t, _ = adj.shape
+            adj = jnp.transpose(adj, (0, 2, 1, 3)).reshape(p, t, e * t)
+    elif adj.ndim == 3:
+        raise ValueError("flat (P, T, 4T) adjacency requires AGG_FLAT")
     return _pad_tiles(adj, k_tiles)
 
 
@@ -283,7 +295,9 @@ def fused_ggnn(n_layers: int, h0, adj, msg_w, msg_b, gru):
 
     Args:
         h0: (P, T, H) f32 initial node states (embeddings).
-        adj: (P, 4, T, T) adjacency (bf16 recommended — exact for 0/1).
+        adj: (P, 4, T, T) adjacency, or pre-flattened (P, T, 4T) in the
+            AGG_FLAT layout (adj_from_coo_flat) — bf16 recommended
+            (exact for 0/1).
         msg_w: (L, 4, H, H) per-edge-type message weights.
         msg_b: (L, 4, H) per-edge-type message biases.
         gru: dict wz/wr/wn (2H, H), uz/ur/un (H, H), bz/br/bn (H,).

@@ -42,8 +42,11 @@ class TrainConfig:
     # packed-supergraph fast path (GGNN + no co-attention only): train
     # steps run over 128-atom packed tiles (~3x faster); 'coo' ships the
     # adjacency as a COO edge list and materializes it on device (fastest
-    # sustained input path; native C++ packer when built); 'fused' also
-    # uses the Pallas kernel.  'padded' = reference-style batching.
+    # sustained input path; native C++ packer when built); 'fused' rides
+    # the same COO streaming input but runs the message/GRU stack in the
+    # fused Pallas kernel (GGNN only; composes with scan_steps — the
+    # production kernel config at h>=64).  'padded' = reference-style
+    # batching.
     compute_path: str = "padded"              # padded | packed | coo | fused
     prefetch: int = 2                         # batches staged ahead (0 = off)
     prefetch_workers: int = 4                 # concurrent device transfers

@@ -662,10 +662,15 @@ class Trainer:
         if cfg.multi_device and cfg.compute_path not in ("packed", "coo"):
             raise ValueError(
                 "multi_device requires compute_path 'packed' or 'coo'")
-        coo = cfg.compute_path == "coo"
+        # the fused Pallas path rides the COO streaming input pipeline
+        # (wire-compact batches; adjacency scatter-built on device in the
+        # kernel's flat layout) — same iterators/eval as compute_path='coo'
+        coo = cfg.compute_path in ("coo", "fused")
+        fused = cfg.compute_path == "fused"
         if packed:
             # co-attention rides the packed layout on the coo path only
-            self._check_packed_compatible(allow_attn=coo)
+            self._check_packed_compatible(
+                allow_attn=cfg.compute_path == "coo")
             from gcnbmp_tpu.models.packed import make_packed_predictor
 
             adj_dtype = (
@@ -688,14 +693,16 @@ class Trainer:
                     else None
                 ),
             )
-            if cfg.scan_steps > 1 and cfg.compute_path == "fused":
-                raise ValueError("scan_steps requires compute_path "
-                                 "'packed' or 'coo'")
+            train_predictor = packed_predictor
+            if fused:
+                from gcnbmp_tpu.models.packed import FusedCompactApply
+
+                train_predictor = FusedCompactApply(packed_predictor)
             if cfg.multi_device and cfg.scan_steps > 1:
                 raise ValueError("multi_device requires scan_steps=1")
             if cfg.scan_steps > 1:
                 train_step = make_packed_scan_train_step(
-                    packed_predictor, self.optimizer, cfg.class_num,
+                    train_predictor, self.optimizer, cfg.class_num,
                     self.loss_fn, debug_checks=cfg.debug_checks,
                 )
             elif coo and cfg.multi_device:
@@ -742,7 +749,7 @@ class Trainer:
                 )
             elif coo:
                 train_step = make_packed_coo_train_step(
-                    packed_predictor, self.optimizer, cfg.class_num,
+                    train_predictor, self.optimizer, cfg.class_num,
                     self.loss_fn, debug_checks=cfg.debug_checks,
                 )
             elif cfg.multi_device:

@@ -88,6 +88,111 @@ def test_fused_gradient_parity():
         )
 
 
+def _coo_compact(n_pairs=4):
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+    from gcnbmp_tpu.models.packed import compact_coo_arrays
+
+    f = GGNNFeaturizer()
+    rng = np.random.default_rng(0)
+    ds = PairDataset()
+    for _ in range(n_pairs):
+        s1 = SMILES[int(rng.integers(len(SMILES)))]
+        s2 = SMILES[int(rng.integers(len(SMILES)))]
+        ds.append(f(mol_from_smiles(s1)), f(mol_from_smiles(s2)),
+                  np.float32(rng.integers(0, 2)))
+    batch = pack_pair_dataset_coo(ds, list(range(n_pairs)))
+    return batch, tuple(jnp.asarray(a) for a in compact_coo_arrays(batch))
+
+
+def test_adj_from_coo_flat_matches_dense():
+    from gcnbmp_tpu.ops.aggregate import adj_from_coo, adj_from_coo_flat
+
+    batch, _ = _coo_compact()
+    args = (jnp.asarray(batch.e_tile), jnp.asarray(batch.e_type),
+            jnp.asarray(batch.e_src), jnp.asarray(batch.e_dst),
+            jnp.asarray(batch.e_mask))
+    p, t = batch.atom_ids.shape
+    dense = adj_from_coo(*args, num_tiles=p, tile=t)
+    flat = adj_from_coo_flat(*args, num_tiles=p, tile=t)
+    # flat[p, i, e*T + j] == dense[p, e, i, j]
+    expect = jnp.transpose(dense, (0, 2, 1, 3)).reshape(p, t, 4 * t)
+    np.testing.assert_array_equal(np.asarray(flat), np.asarray(expect))
+
+
+def test_fused_compact_forward_and_grad_parity():
+    """The fused+COO production path (VERDICT r2 #1): wire-compact input,
+    on-device flat adjacency build, fused kernel — must match the XLA
+    compact COO predictor bit-for-... well, to fp tolerance."""
+    from gcnbmp_tpu.models.packed import fused_compact_logits
+
+    batch, args = _coo_compact()
+    pred = make_packed_predictor(
+        fp_hidden_dim=32, fp_out_dim=32, conv_layers=3,
+        weight_tying=False, sim_method="hole", coo=True, compact=True,
+    )
+    variables = pred.init(jax.random.PRNGKey(0), *args)
+    ref = pred.apply(variables, *args)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_compact_logits(pred, variables["params"], *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    y = jnp.asarray(batch.labels)
+
+    def loss_ref(p):
+        return jnp.mean((pred.apply({"params": p}, *args)[:, 0] - y) ** 2)
+
+    def loss_fused(p):
+        return jnp.mean(
+            (fused_compact_logits(pred, p, *args)[:, 0] - y) ** 2)
+
+    g_ref = jax.grad(loss_ref)(variables["params"])
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused)(variables["params"])
+    flat_fused = {jax.tree_util.keystr(k): v
+                  for k, v in jax.tree_util.tree_leaves_with_path(g_fused)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g_ref):
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(flat_fused[key]), np.asarray(v),
+            rtol=2e-3, atol=2e-5, err_msg=key,
+        )
+
+
+def test_fused_scan_train_step_learns():
+    """compute_path='fused' + scan_steps composition: the scan train-step
+    factory routed through FusedCompactApply must run and reduce the
+    loss (interpret mode on CPU)."""
+    import optax
+
+    from gcnbmp_tpu.models.packed import FusedCompactApply
+    from gcnbmp_tpu.train.loop import (
+        make_packed_scan_train_step,
+        sigmoid_cross_entropy,
+    )
+
+    batch, args = _coo_compact(n_pairs=6)
+    pred = make_packed_predictor(
+        fp_hidden_dim=16, fp_out_dim=16, conv_layers=2,
+        weight_tying=False, sim_method="hole", coo=True, compact=True,
+    )
+    variables = pred.init(jax.random.PRNGKey(0), *args)
+    params = variables["params"]
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+    scan_fn = make_packed_scan_train_step(
+        FusedCompactApply(pred), opt, 1, sigmoid_cross_entropy
+    )
+    s = 3
+    stacked = tuple(jnp.stack([a] * s) for a in args)
+    labels = jnp.stack([jnp.asarray(batch.labels)] * s)
+    with pltpu.force_tpu_interpret_mode():
+        params, opt_state, losses = scan_fn(params, opt_state, stacked, labels)
+        params, opt_state, losses2 = scan_fn(params, opt_state, stacked, labels)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert float(losses2[-1]) < float(losses[0])
+
+
 def test_pair_bilinear_affinity_kernel_matches_xla():
     from gcnbmp_tpu.ops.coattn_kernel import (
         pair_bilinear_affinity,

@@ -50,6 +50,26 @@ def test_packed_training_learns(tmp_path, path):
     assert log[-1]["train/roc_auc"] > 0.8
 
 
+def test_fused_scan_training_learns(tmp_path):
+    """compute_path='fused' composed with scan_steps (VERDICT r2 #1):
+    the production fused+COO+scan config trains end-to-end through the
+    Trainer (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = TrainConfig(
+        method="ggnn", sim_method="hole", fp_hidden_dim=8, fp_out_dim=8,
+        conv_layers=2, batch_size=8, learning_rate=5e-3, epochs=10,
+        early_stop_patience=100, out_dir=str(tmp_path / "fused_scan"),
+        snapshot_interval=100, seed=0, compute_path="fused", scan_steps=2,
+        plot_reports=False, eval_train=True,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        result = Trainer(cfg, _toy(), val_ds=_toy(seed=1)).fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert log[-1]["train/roc_auc"] > 0.8
+
+
 @pytest.mark.parametrize("method", ["relgcn", "gin", "mpnn"])
 def test_coo_training_learns_relgcn_gin(tmp_path, method):
     """RelGCN/GIN ride the packed COO fast path end-to-end (the new
