@@ -247,6 +247,62 @@ def _kaist_type_rules():
     return rules
 
 
+def _x86_type_rules():
+    """The 86-type rule set: the 37 KAIST rules plus 49 further
+    class-pair interactions over the same graph-visible structure —
+    the stand-in for the reference paper's second multi-label regime
+    (~86 interaction types read from labels.csv;
+    train_ggnn_hole_multi_class_x37.py get_class_num)."""
+    rules = _kaist_type_rules()
+    extra = []
+    for hal, hname in (("hal_f", "f"), ("hal_cl", "cl"), ("hal_br", "br")):
+        for acc, an in (("ind", "indole"), ("anil", "aniline"),
+                        ("pheno", "phenolether")):
+            extra.append((f"x86_{hname}_{an}", _pair(hal, acc)))
+    for don, dn in (("hydroxyl", "hydroxyl"), ("ind", "indole")):
+        for acc, an in (("thz", "thiazole"), ("isox", "isoxazole"),
+                        ("nitrile", "nitrile")):
+            extra.append((f"x86_{dn}_{an}", _pair(don, acc)))
+    for base, bn in (("base_p", "primary_amine"), ("base_t", "tert_amine")):
+        for acc, an in (("thz", "thiazole"), ("isox", "isoxazole"),
+                        ("fur", "furan")):
+            extra.append((f"x86_{bn}_{an}", _pair(base, acc)))
+    for acid, an in (("acid_c", "carboxyl"), ("acid_s", "sulfonamide")):
+        for b, bn in (("pyr", "pyridine"), ("anil", "aniline"),
+                      ("pheno", "phenolether"), ("ind", "indole")):
+            extra.append((f"x86_{an}_{bn}", _pair(acid, b)))
+    for c, cn in (("ester", "ester"), ("amide", "amide")):
+        for r, rn in (("naph", "naphthalene"), ("biph", "biphenyl")):
+            extra.append((f"x86_{cn}_{rn}", _pair(c, r)))
+    for acc, an in (("pyr", "pyridine"), ("thz", "thiazole"),
+                    ("base_p", "primary_amine")):
+        extra.append((f"x86_ether_{an}", _pair("ether", acc)))
+    for o, on in (("acid_c", "carboxyl"), ("acid_s", "sulfonamide"),
+                  ("hal_cl", "cl"), ("ester", "ester")):
+        extra.append((f"x86_pip_{on}", _pair("pip", o)))
+    extra.append(("x86_nitrile_pyridine", _pair("nitrile", "pyr")))
+    extra.append(("x86_nitrile_amide", _pair("nitrile", "amide")))
+    extra.append(("x86_hydroxyl_hydroxyl", _pair("hydroxyl", "hydroxyl")))
+    extra.append(("x86_ether_ether", _pair("ether", "ether")))
+    extra.append(("x86_naph_pyridine", _pair("naph", "pyr")))
+    extra.append(("x86_biphenyl_halogen",
+                  _pair_any("biph", {"hal_f", "hal_cl", "hal_br"})))
+    extra.append(("x86_stack_halogen",
+                  lambda d1, d2: d1["n_aromatic"] + d2["n_aromatic"] >= 16
+                  and bool({"hal_f", "hal_cl", "hal_br"}
+                           & (d1["classes"] | d2["classes"]))))
+    extra.append(("x86_stack_acid",
+                  lambda d1, d2: d1["n_aromatic"] + d2["n_aromatic"] >= 16
+                  and bool({"acid_c", "acid_s"}
+                           & (d1["classes"] | d2["classes"]))))
+    extra.append(("x86_heavy_n",
+                  lambda d1, d2: d1["n_N"] + d2["n_N"] >= 4))
+    rules = rules + extra
+    assert len(rules) == 86, len(rules)
+    assert len({n for n, _ in rules}) == 86
+    return rules
+
+
 def enumerate_drugs_kaist(n_drugs: int, seed: int):
     """Kaist-mode enumeration: wider scaffold pool, finer class tags."""
     rng = np.random.default_rng(seed)
@@ -296,10 +352,11 @@ def enumerate_drugs_kaist(n_drugs: int, seed: int):
     return drugs
 
 
-def write_kaist(out_dir, n_drugs, seed, noise, max_pairs):
-    """KAIST-scale outputs: drug_list.csv + pairs_multilabel.csv (37-type
-    ``||``-joined labels, interacting pairs only, reference schema) +
-    labels.csv, with per-type flip noise as in write_multilabel."""
+def write_kaist(out_dir, n_drugs, seed, noise, max_pairs, n_types=37):
+    """KAIST-scale outputs: drug_list.csv + pairs_multilabel.csv (37- or
+    86-type ``||``-joined labels, interacting pairs only, reference
+    schema) + labels.csv, with per-type flip noise as in
+    write_multilabel."""
     import pandas as pd
 
     rng = np.random.default_rng(seed)
@@ -312,7 +369,12 @@ def write_kaist(out_dir, n_drugs, seed, noise, max_pairs):
         "smiles": [d["smiles"] for d in drugs],
     }).to_csv(os.path.join(out_dir, "drug_list.csv"), index=False)
 
-    rules = _kaist_type_rules()
+    if n_types == 86:
+        rules = _x86_type_rules()
+    elif n_types == 37:
+        rules = _kaist_type_rules()
+    else:
+        raise SystemExit(f"--n-types must be 37 or 86, got {n_types}")
     names = [n for n, _ in rules]
     n = len(drugs)
     rows = []
@@ -430,12 +492,15 @@ def main(argv=None):
     p.add_argument("--max-pairs", type=int, default=200_000,
                    help="kaist mode: cap on emitted interacting pairs "
                         "(reference KAIST set is ~192k pairs)")
+    p.add_argument("--n-types", type=int, default=37, choices=(37, 86),
+                   help="kaist mode: interaction-type count — 37 (x37 "
+                        "regime) or 86 (the paper's x86 regime)")
     args = p.parse_args(argv)
 
     if args.kaist:
         n_drugs = args.n_drugs if args.n_drugs != 546 else 1704
         write_kaist(args.out, n_drugs, args.seed, args.noise,
-                    args.max_pairs)
+                    args.max_pairs, n_types=args.n_types)
         return
 
     import pandas as pd

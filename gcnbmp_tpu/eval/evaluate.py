@@ -132,6 +132,7 @@ class PackedPairEvaluator:
             sim_method=train_cfg.sim_method, class_num=class_num,
             net_hidden_dims=train_cfg.net_hidden_dims, compact=True,
             attn=train_cfg.attn, method=train_cfg.method,
+            layer_aggregator=train_cfg.layer_aggregator,
         )
 
         @jax.jit

@@ -441,8 +441,12 @@ def packed_config_problems(cfg, allow_attn: bool = False) -> List[str]:
         problems.append("dropout")
     if cfg.fp_batch_normalization:
         problems.append("batch normalization")
-    if cfg.concat_hidden or cfg.layer_aggregator:
-        problems.append("concat_hidden/layer_aggregator")
+    if cfg.concat_hidden:
+        problems.append("concat_hidden")
+    if cfg.layer_aggregator and cfg.method != "ggnn":
+        problems.append("layer_aggregator (packed GGNN only)")
+    if cfg.layer_aggregator and cfg.compute_path == "fused":
+        problems.append("layer_aggregator (not in the fused kernel)")
     return problems
 
 
@@ -683,6 +687,7 @@ class Trainer:
                 net_hidden_dims=cfg.net_hidden_dims, compact=coo,
                 attn=cfg.attn if coo else None, adj_dtype=adj_dtype,
                 method=cfg.method,
+                layer_aggregator=cfg.layer_aggregator,
                 # bfloat16: message/GRU matmuls on the MXU in bf16 with
                 # f32 accumulation (measured +21-40% on the v5e; params
                 # and the head stay f32).

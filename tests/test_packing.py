@@ -150,6 +150,48 @@ def test_packed_padded_parity():
     )
 
 
+def test_packed_padded_parity_layer_aggregator():
+    """JKNet layer aggregation rides the packed layout (round 3): same
+    weights produce the padded encoder's logits for the per-node
+    aggregator modes.  RNN/attn modes see PADDING slots as extra rows,
+    but those rows are masked at the readout and the per-node recurrence
+    never mixes rows, so parity holds exactly."""
+    ds = _dataset()
+    padded = make_batch(ds, list(range(len(ds))))
+    packed = pack_pair_dataset_batch(ds, list(range(len(ds))))
+    for mode in ("gru", "concat", "max-pool", "attn"):
+        pred = set_up_predictor(
+            method="ggnn", fp_hidden_dim=8, fp_out_dim=8, conv_layers=3,
+            weight_tying=False, sim_method="hole", layer_aggregator=mode,
+        )
+        variables = pred.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(padded.atoms1), jnp.asarray(padded.adj1),
+            jnp.asarray(padded.atoms2), jnp.asarray(padded.adj2),
+            jnp.asarray(padded.mask1), jnp.asarray(padded.mask2),
+        )
+        logits_padded = pred.apply(
+            variables,
+            jnp.asarray(padded.atoms1), jnp.asarray(padded.adj1),
+            jnp.asarray(padded.atoms2), jnp.asarray(padded.adj2),
+            jnp.asarray(padded.mask1), jnp.asarray(padded.mask2),
+        )
+        ppred = make_packed_predictor(
+            fp_hidden_dim=8, fp_out_dim=8, conv_layers=3,
+            weight_tying=False, sim_method="hole", layer_aggregator=mode,
+        )
+        logits_packed = ppred.apply(
+            variables,  # same params
+            jnp.asarray(packed.atom_ids), jnp.asarray(packed.adj),
+            jnp.asarray(packed.mol_id), jnp.asarray(packed.node_mask),
+            jnp.asarray(packed.left_index), jnp.asarray(packed.right_index),
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_packed), np.asarray(logits_padded),
+            rtol=1e-4, atol=1e-5, err_msg=mode,
+        )
+
+
 def test_packed_padded_parity_relgcn_gin():
     """Packed RelGCN/GIN produce the padded encoders' logits from the
     same weights (the new packed fast-path encoders, models/packed.py
