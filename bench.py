@@ -520,8 +520,276 @@ def cpu_baseline():
     return eps
 
 
+def measure_sustained(device):
+    """Decompose the sustained-training pipeline (VERDICT r2 weak #7):
+    where does the 5-12x gap between the step-only headline and the
+    observed training edges/s come from?  Measures, per B=2048 batch:
+
+      pack_ms      host-side native C++ packing (amortized, threadable)
+      wire_kb      host->device payload of the compact COO encoding
+      transfer_ms  serialized device_put of that payload THROUGH THE
+                   RELAY (the axon tunnel round-trips dominate here)
+      step_ms      device compute (scan mode amortizes dispatch)
+      e2e          measured end-to-end edges/s over a 30-batch epoch
+                   slice with the production pipeline (prefetch thread
+                   overlapping transfers, scan_steps=10)
+
+    and projects the sustained rate for a directly-attached chip, where
+    the pipeline bottleneck is max(pack, transfer_at_pcie, step)."""
+    from gcnbmp_tpu.data import native_pack
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+    from gcnbmp_tpu.models.packed import compact_coo_arrays, make_packed_predictor
+    from gcnbmp_tpu.train.loop import (
+        make_packed_scan_train_step,
+        sigmoid_cross_entropy,
+    )
+    import optax
+
+    ds = build_dataset()
+    use_native = native_pack.native_pack_available()
+    cache = native_pack.PairDatasetCache(ds) if use_native else None
+    rng = np.random.default_rng(0)
+
+    # --- host pack cost
+    n_pack = 20
+    idxs = [rng.permutation(BATCH).tolist() for _ in range(n_pack)]
+    pack_one = (
+        (lambda idx: native_pack.pack_pairs_native(cache, idx))
+        if use_native else (lambda idx: pack_pair_dataset_coo(ds, idx))
+    )
+    pack_one(idxs[0])  # warm
+    t0 = time.perf_counter()
+    batches = [pack_one(i) for i in idxs]
+    pack_ms = (time.perf_counter() - t0) / n_pack * 1e3
+
+    # --- wire size + serialized transfer cost through the relay
+    argses = [compact_coo_arrays(b) for b in batches]
+    wire_bytes = sum(np.asarray(a).nbytes for a in argses[0]) + \
+        np.asarray(batches[0].labels).nbytes
+    t0 = time.perf_counter()
+    for a in argses[:10]:
+        put = jax.device_put(tuple(jnp.asarray(x) for x in a), device)
+        np.asarray(put[2])  # force round trip (scalar n_edges)
+    transfer_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    # --- device step (scan mode, distinct stacked batches)
+    predictor = make_packed_predictor(
+        fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
+        weight_tying=False, sim_method="hole", coo=True, compact=True,
+    )
+    optimizer = optax.adam(1e-3)
+    scan_fn = make_packed_scan_train_step(
+        predictor, optimizer, 1, sigmoid_cross_entropy)
+    stacked = tuple(
+        jax.device_put(np.stack([np.asarray(a[i]) for a in argses[:SCAN_STEPS]]),
+                       device)
+        for i in range(len(argses[0]))
+    )
+    labels = jax.device_put(
+        np.stack([b.labels for b in batches[:SCAN_STEPS]]), device)
+    single = tuple(jnp.asarray(np.asarray(a)[0]) for a in stacked)
+    params = jax.device_put(
+        predictor.init(jax.random.PRNGKey(0), *single)["params"], device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+    for _ in range(WARMUP):
+        params, opt_state, losses = scan_fn(params, opt_state, stacked, labels)
+    float(losses[-1])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        params, opt_state, losses = scan_fn(params, opt_state, stacked, labels)
+    float(losses[-1])
+    step_ms = (time.perf_counter() - t0) / (10 * SCAN_STEPS) * 1e3
+
+    # --- measured end-to-end slice with the production pipeline
+    from gcnbmp_tpu.data.prefetch import PrefetchIterator
+    from gcnbmp_tpu.train.loop import scan_chunk_iterator
+
+    def batch_gen():
+        for _ in range(30):
+            yield pack_one(rng.permutation(BATCH).tolist())
+
+    def transfer(item):
+        st, lb, e = item
+        return jax.device_put(st), jax.device_put(lb), e
+
+    chunks = scan_chunk_iterator(batch_gen(), SCAN_STEPS, compact_coo_arrays)
+    it = PrefetchIterator(chunks, depth=2, transfer=transfer, workers=4)
+    n_steps = 0
+    edges_total = 0
+    t0 = time.perf_counter()
+    for st, lb, edges in it:
+        params, opt_state, losses = scan_fn(
+            params, opt_state, tuple(jnp.asarray(a) for a in st),
+            jnp.asarray(lb))
+        n_steps += SCAN_STEPS
+        edges_total += edges
+    float(losses[-1])
+    e2e_dt = time.perf_counter() - t0
+    e2e_eps = edges_total / e2e_dt
+
+    edges_pb = edges_total / n_steps
+    # directly-attached projection: transfers ride PCIe/host link
+    # (>=10 GB/s conservative), overlapped by the prefetch thread; the
+    # bottleneck is the slowest pipeline stage
+    direct_transfer_ms = wire_bytes / 10e9 * 1e3
+    bottleneck_ms = max(step_ms, pack_ms, direct_transfer_ms)
+    projected_eps = edges_pb / (bottleneck_ms * 1e-3)
+
+    rows = {
+        "pack_ms_per_batch": round(pack_ms, 3),
+        "native_packer": use_native,
+        "wire_kb_per_batch": round(wire_bytes / 1024, 1),
+        "relay_transfer_ms_per_batch": round(transfer_ms, 3),
+        "device_step_ms": round(step_ms, 3),
+        "e2e_measured_edges_per_s": round(e2e_eps),
+        "e2e_vs_step_only": round(e2e_eps / (edges_pb / (step_ms * 1e-3)), 3),
+        "direct_attach_transfer_ms": round(direct_transfer_ms, 4),
+        "projected_direct_attach_edges_per_s": round(projected_eps),
+    }
+    for k, v in rows.items():
+        print(f"# sustained: {k} = {v}", file=sys.stderr)
+    print(json.dumps({"metric": "sustained_training_decomposition",
+                      "unit": "edges/s", "value": round(e2e_eps),
+                      "hidden": HIDDEN, "batch_pairs": BATCH, **rows}))
+    return rows
+
+
+def run_verify(device):
+    """Driver-visible hardware verification (VERDICT r2 weak #8): the
+    fused-kernel VJP parity asserts run ON THE REAL CHIP (dense and
+    wire-compact input paths) plus a 20-step fused+COO training sanity.
+    Prints one JSON verdict line; exit code reflects the asserts."""
+    import optax
+
+    from gcnbmp_tpu.data.packing import (
+        pack_pair_dataset_batch,
+        pack_pair_dataset_coo,
+    )
+    from gcnbmp_tpu.models.packed import (
+        FusedCompactApply,
+        compact_coo_arrays,
+        fused_compact_logits,
+        fused_pair_logits,
+        make_packed_predictor,
+    )
+    from gcnbmp_tpu.train.loop import (
+        make_packed_coo_train_step,
+        sigmoid_cross_entropy,
+    )
+
+    checks = {}
+    ds = build_dataset()
+    n_small = min(64, BATCH)
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    # on CPU (no TPU attached) the same checks run in pallas interpret
+    # mode — logic smoke only; the driver runs this against the real chip
+    if device.platform == "cpu":
+        from jax.experimental.pallas import tpu as pltpu
+
+        ctx = pltpu.force_tpu_interpret_mode()
+        ctx.__enter__()
+
+    def grads_close(g_ref, g_got, rtol=2e-3, atol=2e-5):
+        ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        got = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(g_got)}
+        for k, v in ref:
+            key = jax.tree_util.keystr(k)
+            np.testing.assert_allclose(
+                np.asarray(got[key]), np.asarray(v), rtol=rtol, atol=atol,
+                err_msg=key)
+
+    # 1. dense-input fused VJP parity on hardware
+    packed = pack_pair_dataset_batch(ds, list(range(n_small)))
+    pred = make_packed_predictor(
+        fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=2,
+        weight_tying=False, sim_method="hole")
+    args = (put(packed.atom_ids), put(packed.adj), put(packed.mol_id),
+            put(packed.node_mask), put(packed.left_index),
+            put(packed.right_index))
+    variables = pred.init(jax.random.PRNGKey(0), *args)
+    y = put(packed.labels)
+
+    def loss_ref(p):
+        return jnp.mean((pred.apply({"params": p}, *args)[:, 0] - y) ** 2)
+
+    def loss_fused(p):
+        return jnp.mean((fused_pair_logits(pred, p, *args)[:, 0] - y) ** 2)
+
+    try:
+        g_ref = jax.jit(jax.grad(loss_ref))(variables["params"])
+        g_fused = jax.jit(jax.grad(loss_fused))(variables["params"])
+        grads_close(g_ref, g_fused)
+        checks["fused_vjp_dense"] = "pass"
+    except Exception as e:
+        checks["fused_vjp_dense"] = f"FAIL: {type(e).__name__}: {e}"[:300]
+
+    # 2. wire-compact fused VJP parity on hardware (the production path)
+    coo = pack_pair_dataset_coo(ds, list(range(n_small)))
+    cpred = make_packed_predictor(
+        fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=2,
+        weight_tying=False, sim_method="hole", coo=True, compact=True)
+    cargs = tuple(put(a) for a in compact_coo_arrays(coo))
+    cvars = cpred.init(jax.random.PRNGKey(0), *cargs)
+    cy = put(coo.labels)
+
+    def closs_ref(p):
+        return jnp.mean((cpred.apply({"params": p}, *cargs)[:, 0] - cy) ** 2)
+
+    def closs_fused(p):
+        return jnp.mean(
+            (fused_compact_logits(cpred, p, *cargs)[:, 0] - cy) ** 2)
+
+    try:
+        g_ref = jax.jit(jax.grad(closs_ref))(cvars["params"])
+        g_fused = jax.jit(jax.grad(closs_fused))(cvars["params"])
+        grads_close(g_ref, g_fused)
+        checks["fused_vjp_compact"] = "pass"
+    except Exception as e:
+        checks["fused_vjp_compact"] = f"FAIL: {type(e).__name__}: {e}"[:300]
+
+    # 3. 20-step fused+COO training sanity on hardware
+    try:
+        optimizer = optax.adam(2e-3)
+        step = make_packed_coo_train_step(
+            FusedCompactApply(cpred), optimizer, 1, sigmoid_cross_entropy)
+        params = cvars["params"]
+        opt_state = optimizer.init(params)
+        losses = []
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            idx = rng.permutation(n_small).tolist()
+            b = pack_pair_dataset_coo(
+                ds, idx, num_tiles=coo.atom_ids.shape[0],
+                edge_capacity=coo.e_src.shape[0])
+            a = tuple(put(x) for x in compact_coo_arrays(b))
+            params, opt_state, loss, _ = step(params, opt_state, a,
+                                              put(b.labels))
+            losses.append(float(loss))
+        ok = (np.all(np.isfinite(losses))
+              and np.mean(losses[-5:]) < np.mean(losses[:5]))
+        checks["fused_training_20step"] = (
+            "pass" if ok else f"FAIL: losses {losses[:3]}...{losses[-3:]}")
+    except Exception as e:
+        checks["fused_training_20step"] = \
+            f"FAIL: {type(e).__name__}: {e}"[:300]
+
+    ok = all(v == "pass" for v in checks.values())
+    print(json.dumps({
+        "metric": "hardware_verify", "value": int(ok),
+        "unit": "bool", "device": str(device), **checks,
+    }))
+    return 0 if ok else 1
+
+
 def main():
+    global COMPUTE_DTYPE
     device = jax.devices()[0]
+    if "--verify" in sys.argv:
+        sys.exit(run_verify(device))
+    if "--sustained" in sys.argv:
+        measure_sustained(device)
+        return
     print(f"# device: {device}", file=sys.stderr)
     # (name, precision, edges/s, step_s, packed_family) per measured mode;
     # the headline is the winner, tagged with its mode+precision, and the
@@ -564,7 +832,6 @@ def main():
     # + bf16 matmuls (f32 accumulation): the headline training config —
     # quality-validated at reference scale (test AUROC 0.9639 bf16 vs
     # 0.9641 f32 on synth546 isc35000; docs/QUALITY.md)
-    global COMPUTE_DTYPE
     saved_dtype = COMPUTE_DTYPE
     COMPUTE_DTYPE = jnp.bfloat16
     try:

@@ -299,6 +299,11 @@ class PackedMPNNReadout(nn.Module):
                         name="linear2")(g)
 
 
+# A/B switch for the sweep harness: False restores the round-2 einsum
+# aggregation (8 small matmul passes/layer) for delta measurement.
+EDGENET_FLAT = True
+
+
 class PackedEdgeNet(nn.Module):
     """Packed twin of mpnn.EdgeNet: per-edge-type matrix messages plus
     the PER-MOLECULE non-edge background term M0 @ sum_{j in mol} h_j
@@ -330,6 +335,14 @@ class PackedEdgeNet(nn.Module):
         mol_sum = jax.ops.segment_sum(flat, ids, num_segments=num_mols + 1)
         bg = mol_sum @ m0.T  # (num_mols + 1, ch); row num_mols = pads
         bg_nodes = bg[mol_id]  # (P, T, ch)
+
+        if not EDGENET_FLAT:  # round-2 form, kept for A/B sweeps
+            def directed(a):
+                return jnp.einsum("ptij,ptjc->pic", a, hm) + bg_nodes
+
+            return jnp.concatenate(
+                [directed(adj), directed(jnp.swapaxes(adj, 2, 3))], axis=-1
+            )
 
         # AGG_FLAT-style single contraction (VERDICT r2 weak #5): both
         # directed aggregations — sum_{e,j} adj[p,e,i,j] * hm[p,e,j,c]

@@ -331,9 +331,10 @@ def _specs(k, t, h, args, dh=False):
 
 
 def _fused_ggnn_fwd(n_layers, h0, adj, msg_w, msg_b, gru,
-                    block_tiles: int = DEFAULT_BLOCK_TILES):
+                    block_tiles=None):
     p, t, h = h0.shape
-    k = min(block_tiles, p)
+    # late-bound module global so sweeps can override per-measurement
+    k = min(block_tiles or DEFAULT_BLOCK_TILES, p)
     args = _weight_args(msg_w, msg_b, gru)
     adjp = _prep_adj(adj, k)
     h0p = _pad_tiles(h0, k)
@@ -350,10 +351,10 @@ def _fused_ggnn_fwd(n_layers, h0, adj, msg_w, msg_b, gru,
 
 
 def _fused_ggnn_bwd(n_layers, residuals, dh_final,
-                    block_tiles: int = DEFAULT_BWD_BLOCK_TILES):
+                    block_tiles=None):
     h0, adj, msg_w, msg_b, gru = residuals
     p, t, h = h0.shape
-    k = min(block_tiles, p)
+    k = min(block_tiles or DEFAULT_BWD_BLOCK_TILES, p)
     args = _weight_args(msg_w, msg_b, gru)
     adjp = _prep_adj(adj, k)
     h0p = _pad_tiles(h0, k)

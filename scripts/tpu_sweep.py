@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import bench
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "docs", "SWEEPS_r02.jsonl")
+                   "docs", "SWEEPS_r03.jsonl")
 
 
 def emit(row):
@@ -164,18 +164,133 @@ def run_circ(name="circ"):
     emit({"config": name, "path": "circ_microbench", "batch": b, **rows})
 
 
-def run_fused(name, hidden):
+def run_fused(name, hidden, bwd_k=None):
     from gcnbmp_tpu.ops import fused_ggnn
 
     bench.HIDDEN = hidden
     bench.COMPUTE_DTYPE = None
+    saved = fused_ggnn.DEFAULT_BWD_BLOCK_TILES
+    if bwd_k is not None:
+        fused_ggnn.DEFAULT_BWD_BLOCK_TILES = bwd_k
     device = jax.devices()[0]
-    eps, dt, edges = bench.measure_fused(device, bench.ITERS)
+    try:
+        eps, dt, edges = bench.measure_fused(device, bench.ITERS)
+    finally:
+        fused_ggnn.DEFAULT_BWD_BLOCK_TILES = saved
     emit({
         "config": name, "path": "fused", "hidden": hidden,
+        "bwd_k": bwd_k or saved,
         "dtype": "bf16" if fused_ggnn.MATMUL_BF16 else "f32",
         "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
     })
+
+
+def run_coo_scan(name, hidden, dtype=None):
+    """XLA COO+scan train step (the production streaming input path)."""
+    bench.HIDDEN = hidden
+    bench.COMPUTE_DTYPE = dtype
+    device = jax.devices()[0]
+    eps, dt, edges = bench.measure_coo_scan(device, bench.ITERS)
+    emit({
+        "config": name, "path": "coo_scan", "hidden": hidden,
+        "dtype": "bf16" if dtype is not None else "f32",
+        "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+    })
+
+
+def run_fused_coo_scan(name, hidden, bwd_k=None):
+    """The fused+COO+scan production config (round 3): wire-compact
+    batches stacked in HBM, one lax.scan dispatch, adjacency
+    scatter-built per step in the kernel's flat layout, message/GRU
+    stack in the fused Pallas kernel."""
+    import numpy as np
+    import optax
+
+    from gcnbmp_tpu.data import native_pack
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo
+    from gcnbmp_tpu.models.packed import (
+        FusedCompactApply,
+        compact_coo_arrays,
+        make_packed_predictor,
+    )
+    from gcnbmp_tpu.ops import fused_ggnn
+    from gcnbmp_tpu.train.loop import (
+        make_packed_scan_train_step,
+        sigmoid_cross_entropy,
+    )
+
+    bench.HIDDEN = hidden
+    saved = fused_ggnn.DEFAULT_BWD_BLOCK_TILES
+    if bwd_k is not None:
+        fused_ggnn.DEFAULT_BWD_BLOCK_TILES = bwd_k
+    device = jax.devices()[0]
+    try:
+        ds = bench.build_dataset()
+        rng = np.random.default_rng(1)
+        cache = (native_pack.PairDatasetCache(ds)
+                 if native_pack.native_pack_available() else None)
+        chunks = []
+        for _ in range(bench.SCAN_STEPS):
+            idx = rng.permutation(bench.BATCH).tolist()
+            chunks.append(
+                native_pack.pack_pairs_native(cache, idx) if cache is not None
+                else pack_pair_dataset_coo(ds, idx))
+        argses = [compact_coo_arrays(b) for b in chunks]
+        stacked = tuple(
+            np.stack([a[i] for a in argses]) for i in range(len(argses[0]))
+        )
+        labels = np.stack([b.labels for b in chunks])
+        predictor = make_packed_predictor(
+            fp_hidden_dim=hidden, fp_out_dim=hidden, conv_layers=bench.LAYERS,
+            weight_tying=False, sim_method="hole", coo=True, compact=True,
+        )
+        optimizer = optax.adam(1e-3)
+        put = lambda x: jax.device_put(jnp.asarray(x), device)
+        stacked_d = tuple(put(a) for a in stacked)
+        labels_d = put(labels)
+        single = tuple(jnp.asarray(a[0]) for a in stacked)
+        variables = predictor.init(jax.random.PRNGKey(0), *single)
+        params = jax.device_put(variables["params"], device)
+        opt_state = jax.device_put(optimizer.init(params), device)
+        scan_fn = make_packed_scan_train_step(
+            FusedCompactApply(predictor), optimizer, 1, sigmoid_cross_entropy
+        )
+        for _ in range(bench.WARMUP):
+            params, opt_state, losses = scan_fn(
+                params, opt_state, stacked_d, labels_d)
+        float(losses[-1])
+        t0 = time.time()
+        for _ in range(bench.ITERS):
+            params, opt_state, losses = scan_fn(
+                params, opt_state, stacked_d, labels_d)
+        assert float(losses[-1]) == float(losses[-1])  # finite fetch
+        dt = (time.time() - t0) / (bench.ITERS * bench.SCAN_STEPS)
+    finally:
+        fused_ggnn.DEFAULT_BWD_BLOCK_TILES = saved
+    edges = float(np.mean([b.num_edges for b in chunks]))
+    emit({
+        "config": name, "path": "fused_coo_scan", "hidden": hidden,
+        "bwd_k": bwd_k or saved,
+        "step_ms": round(dt * 1e3, 3), "edges_per_s": round(edges / dt),
+    })
+
+
+def run_mpnn_ab(name="mpnn_ab"):
+    """PackedMPNN EdgeNet aggregation A/B: round-2 einsum (8 small
+    matmuls/layer) vs the round-3 flattened single contraction."""
+    from gcnbmp_tpu.models import packed as packed_mod
+
+    device = jax.devices()[0]
+    bench.HIDDEN = 32
+    for label, flat in (("einsum", False), ("flat", True)):
+        packed_mod.EDGENET_FLAT = flat
+        eps, dt, _ = bench.measure_packed_method(device, bench.ITERS, "mpnn")
+        emit({
+            "config": f"{name}_{label}", "path": "packed_mpnn",
+            "edgenet": label, "hidden": 32,
+            "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+        })
+    packed_mod.EDGENET_FLAT = True
 
 
 CONFIGS = {
@@ -196,6 +311,25 @@ CONFIGS = {
     "fused64": lambda: run_fused("fused64", 64),
     "fused128": lambda: run_fused("fused128", 128),
     "fused32": lambda: run_fused("fused32", 32),
+    # round-3: backward K-blocking sweep (the r2 VMEM cap was K=4)
+    "fused64_k4": lambda: run_fused("fused64_k4", 64, bwd_k=4),
+    "fused64_k8": lambda: run_fused("fused64_k8", 64, bwd_k=8),
+    "fused64_k16": lambda: run_fused("fused64_k16", 64, bwd_k=16),
+    "fused128_k4": lambda: run_fused("fused128_k4", 128, bwd_k=4),
+    "fused128_k8": lambda: run_fused("fused128_k8", 128, bwd_k=8),
+    "fused128_k16": lambda: run_fused("fused128_k16", 128, bwd_k=16),
+    # round-3: the fused+COO+scan production config vs its XLA twin
+    "coo_scan64": lambda: run_coo_scan("coo_scan64", 64),
+    "coo_scan_bf16_64": lambda: run_coo_scan("coo_scan_bf16_64", 64,
+                                             jnp.bfloat16),
+    "fused_coo_scan64": lambda: run_fused_coo_scan("fused_coo_scan64", 64),
+    "fused_coo_scan64_k16": lambda: run_fused_coo_scan(
+        "fused_coo_scan64_k16", 64, bwd_k=16),
+    "fused_coo_scan32": lambda: run_fused_coo_scan("fused_coo_scan32", 32),
+    "fused_coo_scan128": lambda: run_fused_coo_scan("fused_coo_scan128", 128),
+    "scan64": lambda: run_scan("scan64", 64, None),
+    "scan_bf16_64": lambda: run_scan("scan_bf16_64", 64, jnp.bfloat16),
+    "mpnn_ab": run_mpnn_ab,
     "circ": run_circ,
     "infer32": lambda: run_infer("infer32", 32, None),
     "infer_bf16_32": lambda: run_infer("infer_bf16_32", 32, jnp.bfloat16),
