@@ -49,15 +49,16 @@ TILE = 128
 NUM_EDGE_TYPE = 4
 DEFAULT_BLOCK_TILES = 16
 # Backward K blocking: raising K batches the GRU/message matmuls over
-# more rows per grid step (fewer small dispatches).  The VMEM bound per
-# grid step is the adjacency block (K x T x 4T f32 = K x 256 KB, double
-# buffered) + the per-layer h scratch (L x K*T x H f32) + the live
-# recompute intermediates; K=8 at L=8, h<=128 sits well inside the v5e's
-# ~16 MB VMEM and measures faster than the round-2 K=4 (see
-# docs/SWEEPS_r03.jsonl).  Override per-run with GCNBMP_FUSED_BWD_K.
+# more rows per grid step (fewer small dispatches), bounded by VMEM —
+# the adjacency block (K x T x 4T f32, double buffered) + the per-layer
+# h scratch (L x K*T x H f32) + the live intermediates of the unrolled
+# reverse loop.  K=4 is the measured-safe default (round-2 sweeps found
+# larger blocks OOM at some widths); override per-run with
+# GCNBMP_FUSED_BWD_K — scripts/tpu_sweep.py fused64_k{4,8,16} measures
+# the trade-off per width.
 import os as _os
 
-DEFAULT_BWD_BLOCK_TILES = int(_os.environ.get("GCNBMP_FUSED_BWD_K", "8"))
+DEFAULT_BWD_BLOCK_TILES = int(_os.environ.get("GCNBMP_FUSED_BWD_K", "4"))
 
 
 # Merge the three x-side gate matmuls into one (KT, 2H) x (2H, 3H) pass
