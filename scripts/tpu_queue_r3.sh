@@ -21,12 +21,11 @@ echo "== sweep batch 1 done $(date +%T)"
 bash scripts/quality_battery_r3.sh >> logs/quality_battery_r3.log 2>&1
 echo "== quality battery done $(date +%T)"
 
-# 3. remaining sweeps
-python scripts/tpu_sweep.py fused32 fused128_k8 fused128_k16 \
-  fused_coo_scan32 fused_coo_scan128 fused_coo_scan64_k16 \
-  coo_scan_bf16_64 scan64 scan_bf16_64 mpnn_ab \
+# 3. remaining sweeps (trimmed to fit the round budget)
+python scripts/tpu_sweep.py fused32 fused128_k8 fused_coo_scan32 \
+  coo_scan_bf16_64 mpnn_ab \
   >> logs/sweep_r3.log 2>&1 || echo "== sweep batch 2 FAILED"
-GCNBMP_FUSED_BF16=1 python scripts/tpu_sweep.py fused32 fused64_k8 \
+GCNBMP_FUSED_BF16=1 python scripts/tpu_sweep.py fused_coo_scan32 \
   fused_coo_scan64 \
   >> logs/sweep_r3.log 2>&1 || echo "== sweep bf16 FAILED"
 echo "== sweeps done $(date +%T)"
