@@ -156,6 +156,10 @@ def _jit_step(fn, debug_checks: bool = False, **jit_kwargs):
         return jax.jit(fn, **jit_kwargs)
     from jax.experimental import checkify
 
+    # debug mode favors safety over the copy saved by donation: donated
+    # inputs are deleted after the call, which breaks callers that
+    # re-invoke the step with the same tree while diagnosing an error
+    jit_kwargs.pop("donate_argnums", None)
     checked = checkify.checkify(
         fn, errors=checkify.float_checks | checkify.index_checks
     )
@@ -202,7 +206,7 @@ def make_train_step(predictor, optimizer, class_num: int = 1,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, logits
 
-    return _jit_step(step_fn, debug_checks)
+    return _jit_step(step_fn, debug_checks, donate_argnums=(0, 1))
 
 
 def make_packed_train_step(packed_predictor, optimizer,
@@ -238,7 +242,7 @@ def make_packed_train_step(packed_predictor, optimizer,
         params = optax.apply_updates(params, updates)
         return params, opt_state, l, logits
 
-    return _jit_step(step_fn, debug_checks)
+    return _jit_step(step_fn, debug_checks, donate_argnums=(0, 1))
 
 
 def packed_batch_iterator(ds: PairDataset, batch_size: int, num_tiles: int,
@@ -281,7 +285,7 @@ def make_packed_gwm_train_step(predictor, optimizer, class_num: int = 1,
         params = optax.apply_updates(params, updates)
         return params, opt_state, l, logits
 
-    return _jit_step(step_fn, debug_checks)
+    return _jit_step(step_fn, debug_checks, donate_argnums=(0, 1))
 
 
 def make_packed_coo_train_step(coo_predictor, optimizer, class_num: int = 1,
@@ -305,7 +309,7 @@ def make_packed_coo_train_step(coo_predictor, optimizer, class_num: int = 1,
         params = optax.apply_updates(params, updates)
         return params, opt_state, l, logits
 
-    return _jit_step(step_fn, debug_checks)
+    return _jit_step(step_fn, debug_checks, donate_argnums=(0, 1))
 
 
 def make_packed_scan_train_step(predictor, optimizer,
