@@ -605,7 +605,7 @@ def measure_sustained(device):
     from gcnbmp_tpu.train.loop import scan_chunk_iterator
 
     def batch_gen():
-        for _ in range(30):
+        for _ in range(90):
             yield pack_one(rng.permutation(BATCH).tolist())
 
     def transfer(item):
@@ -616,11 +616,17 @@ def measure_sustained(device):
     it = PrefetchIterator(chunks, depth=2, transfer=transfer, workers=4)
     n_steps = 0
     edges_total = 0
-    t0 = time.perf_counter()
-    for st, lb, edges in it:
+    t0 = None
+    for i, (st, lb, edges) in enumerate(it):
         params, opt_state, losses = scan_fn(
             params, opt_state, tuple(jnp.asarray(a) for a in st),
             jnp.asarray(lb))
+        if i == 0:
+            # first chunk = pipeline warm-up (nothing overlapped yet);
+            # time the steady-state window only
+            float(losses[-1])
+            t0 = time.perf_counter()
+            continue
         n_steps += SCAN_STEPS
         edges_total += edges
     float(losses[-1])

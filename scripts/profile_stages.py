@@ -225,6 +225,7 @@ def main():
         return optax.apply_updates(p2, updates), l
 
     _, grads_const = s_fwdbwd(jnp.float32(0.0), params, args, y)
+    _force(grads_const)  # surface any async failure HERE, not at stage 1
 
     @jax.jit
     def s_adam(eps, p, s, g):
@@ -248,7 +249,12 @@ def main():
     ]
     results = {}
     for name, fn in stages:
-        dt = timeit(fn)
+        try:
+            dt = timeit(fn)
+        except Exception as e:
+            emit({"stage": name,
+                  "error": f"{type(e).__name__}: {e}"[:300]})
+            continue
         results[name] = dt
         emit({"stage": name, "ms": round(dt * 1e3, 4), "hidden": h,
               "batch_pairs": bench.BATCH, "layers": LAYERS})
@@ -263,19 +269,22 @@ def main():
         emit({"stage": "hlo_counts_full_step",
               "error": f"{type(e).__name__}: {e}"[:300]})
 
-    fwd_stage_sum = sum(results[k] for k in (
-        "embed", "message_x8", "aggregate_x8", "gru_x8",
-        "readout_segsum", "hole_loss"))
-    emit({
-        "stage": "summary",
-        "hidden": h,
-        "fwd_stage_sum_ms": round(fwd_stage_sum * 1e3, 3),
-        "forward_total_ms": round(results["forward_total"] * 1e3, 3),
-        "fwd_bwd_total_ms": round(results["fwd_bwd_total"] * 1e3, 3),
-        "full_step_ms": round(results["full_step_total"] * 1e3, 3),
-        "launch_overhead_fwd_ms": round(
-            (results["forward_total"] - fwd_stage_sum) * 1e3, 3),
-    })
+    fwd_keys = ("embed", "message_x8", "aggregate_x8", "gru_x8",
+                "readout_segsum", "hole_loss")
+    if all(k in results for k in fwd_keys) and "forward_total" in results:
+        fwd_stage_sum = sum(results[k] for k in fwd_keys)
+        emit({
+            "stage": "summary",
+            "hidden": h,
+            "fwd_stage_sum_ms": round(fwd_stage_sum * 1e3, 3),
+            "forward_total_ms": round(results["forward_total"] * 1e3, 3),
+            "fwd_bwd_total_ms": round(
+                results.get("fwd_bwd_total", float("nan")) * 1e3, 3),
+            "full_step_ms": round(
+                results.get("full_step_total", float("nan")) * 1e3, 3),
+            "launch_overhead_fwd_ms": round(
+                (results["forward_total"] - fwd_stage_sum) * 1e3, 3),
+        })
 
 
 if __name__ == "__main__":
