@@ -18,6 +18,13 @@ from flax import linen as nn
 # (reference: models/ggnn.py:14,87).
 MAX_ATOMIC_NUM = 117
 
+# Lookup strategy for EmbedAtomID: env-gated A/B between gather (the
+# obvious form; its backward is a scatter-add into the 117-row table)
+# and one-hot matmul (MXU passes both ways) — see SWEEPS_r03 onehot rows.
+import os as _os
+
+ONEHOT_EMBED = _os.environ.get("GCNBMP_ONEHOT_EMBED", "0") == "1"
+
 LecunNormal = nn.initializers.lecun_normal
 
 
@@ -57,6 +64,15 @@ class EmbedAtomID(nn.Module):
             nn.initializers.normal(stddev=1.0),
             (self.num_embeddings, self.features),
         )
+        if ONEHOT_EMBED:
+            # one-hot matmul instead of gather: the table is tiny (117
+            # rows) so the lookup is a (rows, V) x (V, H) MXU pass, and
+            # — the real win — the BACKWARD becomes onehot^T @ dh (a
+            # matmul) instead of a scatter-add into the table, which
+            # XLA:TPU serializes (profile_stages: the embed stage and
+            # its bwd scatter are among the step's slowest kernels).
+            oh = jax.nn.one_hot(ids, self.num_embeddings, dtype=emb.dtype)
+            return oh @ emb
         return jnp.take(emb, ids, axis=0)
 
 

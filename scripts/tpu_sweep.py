@@ -293,7 +293,21 @@ def run_mpnn_ab(name="mpnn_ab"):
     packed_mod.EDGENET_FLAT = True
 
 
+def run_onehot_ab(name="onehot"):
+    """EmbedAtomID lookup A/B on the headline config (scan bf16 h=32):
+    gather+scatter vs one-hot matmul."""
+    from gcnbmp_tpu.models import layers
+
+    try:
+        for label, flag in (("gather", False), ("onehot", True)):
+            layers.ONEHOT_EMBED = flag
+            run_scan(f"{name}_{label}_scan_bf16_32", 32, jnp.bfloat16)
+    finally:
+        layers.ONEHOT_EMBED = False
+
+
 CONFIGS = {
+    "onehot_ab": run_onehot_ab,
     "packed32": lambda: run_packed("packed32", 32, None),
     "bf16_32": lambda: run_packed("bf16_32", 32, jnp.bfloat16),
     "packed64": lambda: run_packed("packed64", 64, None),
