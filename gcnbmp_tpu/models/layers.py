@@ -18,12 +18,15 @@ from flax import linen as nn
 # (reference: models/ggnn.py:14,87).
 MAX_ATOMIC_NUM = 117
 
-# Lookup strategy for EmbedAtomID: env-gated A/B between gather (the
-# obvious form; its backward is a scatter-add into the 117-row table)
-# and one-hot matmul (MXU passes both ways) — see SWEEPS_r03 onehot rows.
+# Lookup strategy for EmbedAtomID: one-hot matmul (MXU passes both
+# ways) vs gather (whose backward is a scatter-add into the 117-row
+# table, which XLA:TPU serializes).  Measured on the v5e flagship step
+# (scan bf16 h=32, SWEEPS_r03 onehot rows): one-hot 4.10 ms vs gather
+# 4.70 ms — 13% faster, numerically exact (a one-hot row select), so
+# it is the default; set GCNBMP_ONEHOT_EMBED=0 to A/B the gather.
 import os as _os
 
-ONEHOT_EMBED = _os.environ.get("GCNBMP_ONEHOT_EMBED", "0") == "1"
+ONEHOT_EMBED = _os.environ.get("GCNBMP_ONEHOT_EMBED", "1") == "1"
 
 LecunNormal = nn.initializers.lecun_normal
 
