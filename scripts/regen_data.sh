@@ -22,4 +22,7 @@ python data_generator.py --split kaist \
 python examples/make_synth_drugbank.py --out dataset/synth1704 --kaist
 python data_generator.py --split kaist \
   --kaist-csv dataset/synth1704/pairs_multilabel.csv --out dataset/synth1704/kaist
+python examples/make_synth_drugbank.py --out dataset/synth1704x86 --kaist --n-types 86
+python data_generator.py --split kaist \
+  --kaist-csv dataset/synth1704x86/pairs_multilabel.csv --out dataset/synth1704x86/kaist
 echo REGEN_DONE
