@@ -74,8 +74,12 @@ class EmbedAtomID(nn.Module):
             # matmul) instead of a scatter-add into the table, which
             # XLA:TPU serializes (profile_stages: the embed stage and
             # its bwd scatter are among the step's slowest kernels).
+            # precision=HIGHEST: the TPU's default bf16 operand passes
+            # would round the table values (measured: 1% of embed-grad
+            # elements off vs gather); full f32 passes keep the lookup
+            # exact and the matmul is tiny either way.
             oh = jax.nn.one_hot(ids, self.num_embeddings, dtype=emb.dtype)
-            return oh @ emb
+            return jnp.matmul(oh, emb, precision=jax.lax.Precision.HIGHEST)
         return jnp.take(emb, ids, axis=0)
 
 
