@@ -669,6 +669,18 @@ def compact_gwm_arrays(batch) -> Tuple:
     return nodes, e_packed, n_edges, batch.supers, left, right
 
 
+def _embed_lookup(emb, atom_ids):
+    """Atom-ID lookup for the fused-path helpers, matching EmbedAtomID's
+    strategy: one-hot MXU matmul (exact; backward is a matmul instead of
+    a scatter-add — 13% step win, see models/layers.py ONEHOT_EMBED)."""
+    from gcnbmp_tpu.models.layers import ONEHOT_EMBED
+
+    if ONEHOT_EMBED:
+        oh = jax.nn.one_hot(atom_ids, emb.shape[0], dtype=emb.dtype)
+        return jnp.matmul(oh, emb, precision=jax.lax.Precision.HIGHEST)
+    return jnp.take(emb, atom_ids, axis=0)
+
+
 def fused_pair_logits(
     predictor: "PackedPairPredictor",
     params,
@@ -687,7 +699,7 @@ def fused_pair_logits(
 
     enc: PackedGGNN = predictor.encoder
     ep = params["encoder"]
-    h0 = jnp.take(ep["embed"]["embedding"], atom_ids, axis=0)
+    h0 = _embed_lookup(ep["embed"]["embedding"], atom_ids)
     msg_w, msg_b, gru = params_to_fused(
         ep, enc.n_layers, enc.weight_tying, enc.hidden_dim
     )
@@ -738,7 +750,7 @@ def fused_compact_logits(
         dtype=getattr(predictor, "adj_dtype", jnp.float32),
     )
     ep = params["encoder"]
-    h0 = jnp.take(ep["embed"]["embedding"], atom_ids, axis=0)
+    h0 = _embed_lookup(ep["embed"]["embedding"], atom_ids)
     msg_w, msg_b, gru = params_to_fused(
         ep, enc.n_layers, enc.weight_tying, enc.hidden_dim
     )
