@@ -576,6 +576,7 @@ def measure_sustained(device):
     predictor = make_packed_predictor(
         fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
         weight_tying=False, sim_method="hole", coo=True, compact=True,
+        compute_dtype=COMPUTE_DTYPE,  # GCNBMP_BENCH_BF16=1 -> bf16 path
     )
     optimizer = optax.adam(1e-3)
     scan_fn = make_packed_scan_train_step(

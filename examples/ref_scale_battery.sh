@@ -4,6 +4,12 @@
 # on the held-out stratified test set. See docs/QUALITY.md for results.
 # Runs on the default JAX platform (the TPU chip under the driver);
 # ~40 min end to end on one v5e through the axon relay.
+#
+# NOTE (round 3): the GWM-dense and the 8k-subset MPNN/NFP/JKNet blocks
+# below are SUPERSEDED by full-scale production-path runs in
+# scripts/quality_battery_r3.sh (plus scripts/coattn_battery_r3.sh for
+# the remaining 9 co-attention variants); they are kept for
+# padded<->packed cross-checks only.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
