@@ -606,8 +606,12 @@ def measure_sustained(device):
     from gcnbmp_tpu.train.loop import scan_chunk_iterator
 
     def batch_gen():
-        for _ in range(90):
-            yield pack_one(rng.permutation(BATCH).tolist())
+        # packing runs 4 batches ahead on a thread pool (the Trainer's
+        # iterator does the same; the native packer releases the GIL)
+        from gcnbmp_tpu.train.loop import _window_parallel
+
+        idxs = (rng.permutation(BATCH).tolist() for _ in range(90))
+        yield from _window_parallel(idxs, pack_one, 4)
 
     def transfer(item):
         st, lb, e = item

@@ -367,14 +367,42 @@ def scan_chunk_iterator(batches, scan_steps: int, args_fn):
             chunk = []
 
 
+def _window_parallel(items, build, workers: int):
+    """Yield build(item) in order with a ``workers``-deep lookahead on a
+    thread pool.  Worth it when build releases the GIL (the native C++
+    packer does, via ctypes) — packing overlaps the device step instead
+    of serializing ahead of it."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter(items)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        pending = deque()
+        try:
+            for _ in range(workers + 1):
+                pending.append(ex.submit(build, next(it)))
+        except StopIteration:
+            pass
+        for item in it:
+            out = pending.popleft().result()
+            pending.append(ex.submit(build, item))
+            yield out
+        while pending:
+            yield pending.popleft().result()
+
+
 def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
                               num_tiles: int, edge_capacity: int,
-                              rng: np.random.Generator, supernode_fn=None):
+                              rng: np.random.Generator, supernode_fn=None,
+                              pack_workers: int = 4):
     """Shuffled COO packed batches with fixed tile/edge capacities.  Uses
     the native C++ packer (native/pack.cpp) when available — the Python
     packer costs ~200 ms/2048-pair batch vs ~7 ms device step — and falls
     back to the Python spec implementation otherwise.  ``supernode_fn``
-    attaches the per-molecule supernode table (GWM)."""
+    attaches the per-molecule supernode table (GWM).  Packing runs
+    ``pack_workers`` batches ahead on a thread pool (the native packer
+    releases the GIL): on the bf16 scan path the ~6-9 ms serial pack had
+    become the pipeline bottleneck (bench.py --sustained, DESIGN.md §5)."""
     from gcnbmp_tpu.data import native_pack
     from gcnbmp_tpu.data.packing import attach_supers_coo, pack_pair_dataset_coo
 
@@ -386,7 +414,8 @@ def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
             ds._native_pack_cache = cache
     order = np.arange(len(ds))
     rng.shuffle(order)
-    for start in range(0, len(ds) - batch_size + 1, batch_size):
+
+    def build(start):
         idx = order[start:start + batch_size].tolist()
         if cache is not None:
             batch = native_pack.pack_pairs_native(
@@ -398,7 +427,14 @@ def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
             )
         if supernode_fn is not None:
             batch = attach_supers_coo(batch, ds, idx, supernode_fn)
-        yield batch
+        return batch
+
+    starts = range(0, len(ds) - batch_size + 1, batch_size)
+    if pack_workers > 1:
+        yield from _window_parallel(starts, build, pack_workers)
+    else:
+        for start in starts:
+            yield build(start)
 
 
 def make_eval_step_coo(coo_predictor):
