@@ -108,6 +108,14 @@ class Mol2VecFeaturizer:
     radius: int = 1
     dim: Optional[int] = None  # inferred from the table when None
 
+    # BEHAVIOR CHANGE (round 3): externally supplied tables lacking the
+    # UNSEEN key now get the same deterministic hash-seeded UNSEEN
+    # vector as identifier_table_from_corpus builds — previously unseen
+    # identifiers fell back to zeros.  Features computed from such
+    # tables therefore differ from pre-round-3 outputs wherever a
+    # molecule contains identifiers missing from the table; recompute
+    # any cached features rather than mixing the two vintages.
+
     def __post_init__(self):
         if self.dim is None:
             if not self.table:

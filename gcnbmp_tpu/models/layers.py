@@ -78,6 +78,11 @@ class EmbedAtomID(nn.Module):
             # would round the table values (measured: 1% of embed-grad
             # elements off vs gather); full f32 passes keep the lookup
             # exact and the matmul is tiny either way.
+            # clamp ids like jnp.take does, so both paths share the same
+            # out-of-range semantics (one_hot alone would yield all-zero
+            # rows where take clamps to the last table row) and the flag
+            # stays a pure perf A/B (ADVICE r3 #4)
+            ids = jnp.clip(ids, 0, self.num_embeddings - 1)
             oh = jax.nn.one_hot(ids, self.num_embeddings, dtype=emb.dtype)
             return jnp.matmul(oh, emb, precision=jax.lax.Precision.HIGHEST)
         return jnp.take(emb, ids, axis=0)

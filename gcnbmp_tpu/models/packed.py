@@ -676,6 +676,9 @@ def _embed_lookup(emb, atom_ids):
     from gcnbmp_tpu.models.layers import ONEHOT_EMBED
 
     if ONEHOT_EMBED:
+        # clamp like jnp.take so both paths share out-of-range
+        # semantics (ADVICE r3 #4; see models/layers.EmbedAtomID)
+        atom_ids = jnp.clip(atom_ids, 0, emb.shape[0] - 1)
         oh = jax.nn.one_hot(atom_ids, emb.shape[0], dtype=emb.dtype)
         return jnp.matmul(oh, emb, precision=jax.lax.Precision.HIGHEST)
     return jnp.take(emb, atom_ids, axis=0)
@@ -812,6 +815,10 @@ def make_packed_predictor(
     if compute_dtype is not None and method not in ("ggnn", "relgcn", "gin"):
         raise ValueError(
             "compute_dtype is plumbed for ggnn/relgcn/gin encoders only")
+    # checked before the ggnn-gwm early return so every non-ggnn method
+    # rejects the flag instead of silently ignoring it (ADVICE r3 #2)
+    if layer_aggregator is not None and method != "ggnn":
+        raise ValueError("layer_aggregator rides the packed GGNN only")
     if method == "ggnn-gwm":
         # supernode features ride the batch as a (num_mols, F) table
         # (PackedGraphBatch/PackedCOOBatch .supers); dense and
@@ -838,8 +845,6 @@ def make_packed_predictor(
                 encoder=encoder, head=head, adj_dtype=adj_dtype
             )
         return PackedGWMPairPredictor(encoder=encoder, head=head)
-    if layer_aggregator is not None and method != "ggnn":
-        raise ValueError("layer_aggregator rides the packed GGNN only")
     if method == "ggnn":
         encoder = PackedGGNN(
             out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,

@@ -60,23 +60,29 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
 
 def resolve_measured_step(
     repo_root: str = _REPO_ROOT,
+    expected_hidden: int = 32,
 ) -> Tuple[Optional[float], Optional[int], str]:
-    """Resolve the measured flagship step time (seconds at B=2048) from
-    the freshest benchmark record on disk:
+    """Resolve the measured flagship step time (seconds) from the
+    freshest benchmark record on disk:
 
       1. ``docs/bench_latest.json`` — written by every ``bench.py`` run;
       2. the newest ``BENCH_r*.json`` — the driver's per-round archive
          (its ``parsed`` field is bench.py's JSON line).
 
-    Returns (step_s, batch_pairs, source_label); (None, None, reason)
-    when no record exists (fresh checkout before any bench run).
+    Records whose ``hidden`` doesn't match ``expected_hidden`` are
+    skipped — a ``GCNBMP_BENCH_HIDDEN=128`` sweep must not masquerade as
+    the flagship h=32 step (ADVICE r3 #1).  Returns (step_s,
+    batch_pairs, source_label) where ``batch_pairs`` is the batch the
+    record was measured at (callers must normalize by it, not assume
+    2048); (None, None, reason) when no matching record exists.
     """
     latest = os.path.join(repo_root, "docs", "bench_latest.json")
     if os.path.exists(latest):
         try:
             with open(latest) as f:
                 d = json.load(f)
-            if "step_ms" in d:
+            if ("step_ms" in d
+                    and d.get("hidden", expected_hidden) == expected_hidden):
                 return d["step_ms"] * 1e-3, d.get("batch_pairs", 2048), \
                     "docs/bench_latest.json"
         except Exception:
@@ -87,12 +93,14 @@ def resolve_measured_step(
             with open(path) as f:
                 d = json.load(f)
             parsed = d.get("parsed") or {}
-            if "step_ms" in parsed:
+            if ("step_ms" in parsed
+                    and parsed.get("hidden",
+                                   expected_hidden) == expected_hidden):
                 return parsed["step_ms"] * 1e-3, \
                     parsed.get("batch_pairs", 2048), os.path.basename(path)
         except Exception:
             continue
-    return None, None, "no benchmark record found"
+    return None, None, "no matching benchmark record found"
 
 
 def ring_all_reduce_s(bytes_per_device: float, n: int, bw: float) -> float:
@@ -144,28 +152,32 @@ def edgeshard_comm_budget(
     step_s_b2048: Optional[float] = None,
     ici_bw: float = ICI_BW,
     dcn_bw: float = DCN_BW,
+    measured_batch_pairs: int = 2048,
 ) -> CommBudget:
     """Budget for one edgeshard train step at ``batch_pairs`` pairs.
 
-    ``step_s_b2048``: measured per-step wall time at B=2048 on one chip.
-    When None it is resolved from the live benchmark record on disk
-    (resolve_measured_step).  Compute time scales linearly from that
-    step (the step is edge-count-proportional) and is divided across
+    ``step_s_b2048``: measured per-step wall time on one chip, taken at
+    ``measured_batch_pairs`` pairs.  When None both are resolved from
+    the live benchmark record on disk (resolve_measured_step, flagship
+    h=32 records only).  Compute time scales linearly from that step
+    (the step is edge-count-proportional) and is divided across
     devices; the collective payloads are not (the molecule table and
     gradients are global)."""
     source = "explicit"
     if step_s_b2048 is None:
-        step_s_b2048, _, source = resolve_measured_step()
+        step_s_b2048, rec_b, source = resolve_measured_step()
         if step_s_b2048 is None:
             raise RuntimeError(
                 "no measured step time available: run `python bench.py` "
                 "once (writes docs/bench_latest.json) or pass "
                 "step_s_b2048 explicitly"
             )
+        measured_batch_pairs = rec_b or measured_batch_pairs
     num_mols = 2 * batch_pairs
     moltable = num_mols * out_dim * 4.0
     grads = param_count * 4.0
-    compute = step_s_b2048 * (batch_pairs / 2048.0) / n_devices
+    compute = (step_s_b2048 * (batch_pairs / float(measured_batch_pairs))
+               / n_devices)
     coll_ici = (ring_all_reduce_s(moltable, n_devices, ici_bw)
                 + ring_all_reduce_s(grads, n_devices, ici_bw))
     coll_dcn = (ring_all_reduce_s(moltable, n_devices, dcn_bw)
@@ -202,13 +214,15 @@ def print_comm_budget_table(param_count: int, out_dim: int = 32,
     derived scaling-efficiency bound at B=2048/8192 (VERDICT r1 #5),
     computed from the live measured step time (VERDICT r2 weak #6)."""
     rows = []
-    step_s, _, source = resolve_measured_step()
+    step_s, rec_b, source = resolve_measured_step()
     print("comm budget (edgeshard, zero-cut-edge tile sharding; "
-          f"params={param_count:,}; step time from {source}):")
+          f"params={param_count:,}; step time from {source}"
+          + (f" @ B={rec_b}" if rec_b else "") + "):")
     for b in (2048, 8192):
         budget = edgeshard_comm_budget(
             b, param_count, out_dim=out_dim, n_devices=n_devices,
             n_hosts=n_hosts, step_s_b2048=step_s,
+            measured_batch_pairs=rec_b or 2048,
         )
         rows.append(budget)
         print("  " + budget.row())

@@ -178,7 +178,12 @@ def make_train_step(predictor, optimizer, class_num: int = 1,
                     uses_supernodes: bool = False,
                     debug_checks: bool = False):
     """Returns jitted (params, opt_state, batch_arrays[, supers], rng) ->
-    updated.  ``uses_supernodes`` threads the GWM supernode vectors."""
+    updated.  ``uses_supernodes`` threads the GWM supernode vectors.
+
+    params/opt_state buffers are DONATED (in-place update, no copy):
+    the input trees are consumed by each call — always rebind from the
+    returned tuple; reusing a passed-in tree afterwards raises a
+    deleted-buffer error.  (``debug_checks=True`` disables donation.)"""
 
     def loss_fn(params, atoms1, adj1, atoms2, adj2, mask1, mask2,
                 supers, labels, rng):
@@ -215,7 +220,8 @@ def make_packed_train_step(packed_predictor, optimizer,
                            fused: bool = False,
                            debug_checks: bool = False):
     """Train step over the packed supergraph layout (data/packing.py);
-    ``fused`` routes through the Pallas kernel."""
+    ``fused`` routes through the Pallas kernel.  params/opt_state are
+    donated — rebind from the returned tuple (see make_train_step)."""
 
     def loss_fn(params, atom_ids, adj, mol_id, node_mask, left, right, labels):
         if fused:
@@ -263,7 +269,9 @@ def make_packed_gwm_train_step(predictor, optimizer, class_num: int = 1,
                                loss: Callable = sigmoid_cross_entropy,
                                debug_checks: bool = False):
     """Train step for PackedGWMPairPredictor (models/gwm.py): the dense
-    packed arg tuple with the per-molecule supernode table after adj."""
+    packed arg tuple with the per-molecule supernode table after adj.
+    params/opt_state are donated — rebind from the returned tuple (see
+    make_train_step)."""
 
     def loss_fn(params, atom_ids, adj, supers, mol_id, node_mask,
                 left, right, labels):
@@ -293,7 +301,8 @@ def make_packed_coo_train_step(coo_predictor, optimizer, class_num: int = 1,
                                debug_checks: bool = False):
     """Train step over COO packed batches (PackedCOOBatch): the host ships
     ~#edges ints; the dense tile adjacency is materialized on device inside
-    the step (models/packed.PackedPairPredictorCOO)."""
+    the step (models/packed.PackedPairPredictorCOO).  params/opt_state
+    are donated — rebind from the returned tuple (see make_train_step)."""
 
     def loss_fn(params, args, labels):
         logits = coo_predictor.apply({"params": params}, *args)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import bench
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "docs", "SWEEPS_r03.jsonl")
+                   "docs", "SWEEPS_r04.jsonl")
 
 
 def emit(row):
@@ -335,6 +335,14 @@ CONFIGS = {
     # round-3: the fused+COO+scan production config vs its XLA twin
     "coo_scan64": lambda: run_coo_scan("coo_scan64", 64),
     "coo_scan_bf16_64": lambda: run_coo_scan("coo_scan_bf16_64", 64,
+                                             jnp.bfloat16),
+    # round-4 re-baseline (VERDICT r3 #1): the bf16 rows above silently
+    # ran f32 in round 3 (measure_coo_scan dropped the dtype knob — now
+    # fixed in bench.py); re-run against the fused kernel at h=64/128
+    "coo_scan128": lambda: run_coo_scan("coo_scan128", 128),
+    "coo_scan_bf16_128": lambda: run_coo_scan("coo_scan_bf16_128", 128,
+                                              jnp.bfloat16),
+    "coo_scan_bf16_32": lambda: run_coo_scan("coo_scan_bf16_32", 32,
                                              jnp.bfloat16),
     "fused_coo_scan64": lambda: run_fused_coo_scan("fused_coo_scan64", 64),
     "fused_coo_scan64_k16": lambda: run_fused_coo_scan(
