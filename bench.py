@@ -614,13 +614,25 @@ def measure_sustained(device):
     from gcnbmp_tpu.data.prefetch import PrefetchIterator
     from gcnbmp_tpu.train.loop import scan_chunk_iterator
 
+    # knobs (VERDICT r3 #2): pack lookahead width, and the Trainer's
+    # reuse_packs mode (epoch-1 packs reused with batch-level
+    # reshuffle -> zero steady-state pack cost)
+    pack_workers = int(os.environ.get("GCNBMP_PACK_WORKERS", "4"))
+    reuse = os.environ.get("GCNBMP_SUSTAINED_REUSE") == "1"
+
     def batch_gen():
-        # packing runs 4 batches ahead on a thread pool (the Trainer's
-        # iterator does the same; the native packer releases the GIL)
+        # packing runs ahead on a thread pool (the Trainer's iterator
+        # does the same; the native packer releases the GIL)
         from gcnbmp_tpu.train.loop import _window_parallel
 
+        if reuse:
+            pool = [pack_one(rng.permutation(BATCH).tolist())
+                    for _ in range(30)]
+            for i in range(90):
+                yield pool[int(rng.integers(len(pool)))]
+            return
         idxs = (rng.permutation(BATCH).tolist() for _ in range(90))
-        yield from _window_parallel(idxs, pack_one, 4)
+        yield from _window_parallel(idxs, pack_one, pack_workers)
 
     def transfer(item):
         st, lb, e = item
@@ -657,6 +669,8 @@ def measure_sustained(device):
 
     rows = {
         "pack_ms_per_batch": round(pack_ms, 3),
+        "pack_workers": pack_workers,
+        "reuse_packs": reuse,
         "native_packer": use_native,
         "wire_kb_per_batch": round(wire_bytes / 1024, 1),
         "relay_transfer_ms_per_batch": round(transfer_ms, 3),

@@ -10,6 +10,7 @@ dense, gru/{W,U,...}, readout_0/{i,j}.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -302,19 +303,40 @@ class PackedMPNNReadout(nn.Module):
 # A/B switch for the sweep harness: False restores the round-2 einsum
 # aggregation (8 small matmul passes/layer) for delta measurement.
 EDGENET_FLAT = True
+# Round 4 (VERDICT r3 #6): aggregate-first EdgeNet.  The r2/r3 forms
+# materialize hm = (M_e - M0) h as a (P, 4, T, ch) HBM tensor every
+# layer (plus adjacency transposes inside the layer), then contract
+# with the adjacency.  Swapping the contraction order —
+#   msgs[i, c] = sum_d (sum_{e,j} adj[e, i, j] h[j, d]) W[e*d + d', c]
+# — aggregates h FIRST with the raw (P, 4T, T)-reshaped adjacency (a
+# free reshape for the out direction; ONE hoisted transpose per
+# forward, not per layer, for the in direction) and applies the
+# per-edge-type matrices to the aggregate afterwards (4 small
+# sublane-aligned matmuls per direction).  No hm tensor, no per-layer
+# adjacency transposes.  A/B-measured on hardware by
+# scripts/tpu_sweep.py mpnn_ab3 (SWEEPS_r04); override via
+# GCNBMP_EDGENET_MODE=flat|einsum|aggfirst.
+EDGENET_AGGFIRST = (
+    os.environ.get("GCNBMP_EDGENET_MODE", "aggfirst") == "aggfirst"
+)
 
 
 class PackedEdgeNet(nn.Module):
     """Packed twin of mpnn.EdgeNet: per-edge-type matrix messages plus
     the PER-MOLECULE non-edge background term M0 @ sum_{j in mol} h_j
     (a segment-sum + gather; equals the padded module's masked
-    background).  Param names (nn1, nn2) match EdgeNet."""
+    background).  Param names (nn1, nn2) match EdgeNet.
+
+    ``adj_cat``: optional precomputed (P, 8T, T) stacked adjacency
+    (build_edgenet_adj_cat) consumed by the aggregate-first form —
+    hoisted out of the layer loop by PackedMPNN."""
 
     out_channels: int
     edge_hidden_dim: int = 16
 
     @nn.compact
-    def __call__(self, h, adj, mol_id, node_mask, num_mols: int):
+    def __call__(self, h, adj, mol_id, node_mask, num_mols: int,
+                 adj_cat=None):
         from gcnbmp_tpu.models.layers import LecunNormal
 
         p, t, ch = h.shape
@@ -328,13 +350,32 @@ class PackedEdgeNet(nn.Module):
         mats = mats.reshape(5, ch, ch)
         m0, m_types = mats[0], mats[1:]
 
-        hm = jnp.einsum("tcd,pjd->ptjc", m_types - m0, h)  # (P, 4, T, ch)
         # per-molecule background: M0 @ segment-sum of real-node h
         flat = (h * node_mask[..., None]).reshape(-1, ch)
         ids = mol_id.reshape(-1)
         mol_sum = jax.ops.segment_sum(flat, ids, num_segments=num_mols + 1)
         bg = mol_sum @ m0.T  # (num_mols + 1, ch); row num_mols = pads
         bg_nodes = bg[mol_id]  # (P, T, ch)
+
+        if EDGENET_AGGFIRST:
+            if adj_cat is None:
+                adj_cat = build_edgenet_adj_cat(adj)
+            agg = jax.lax.dot_general(
+                adj_cat.astype(h.dtype), h,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (P, 8T, ch): rows [out e0..e3 | in e0..e3] x T
+            w_e = jnp.transpose(m_types - m0, (0, 2, 1))  # (4, ch_in, ch_out)
+            out = jnp.zeros((p, t, ch), jnp.float32)
+            inn = jnp.zeros((p, t, ch), jnp.float32)
+            for e in range(4):
+                out = out + agg[:, e * t:(e + 1) * t] @ w_e[e]
+                inn = inn + agg[:, (4 + e) * t:(5 + e) * t] @ w_e[e]
+            return jnp.concatenate(
+                [out + bg_nodes, inn + bg_nodes], axis=-1
+            )
+
+        hm = jnp.einsum("tcd,pjd->ptjc", m_types - m0, h)  # (P, 4, T, ch)
 
         if not EDGENET_FLAT:  # round-2 form, kept for A/B sweeps
             def directed(a):
@@ -362,6 +403,17 @@ class PackedEdgeNet(nn.Module):
         return jnp.concatenate(
             [msgs[:, :t] + bg_nodes, msgs[:, t:] + bg_nodes], axis=-1
         )
+
+
+def build_edgenet_adj_cat(adj):
+    """(P, 4, T, T) adjacency -> the (P, 8T, T) stacked layout consumed
+    by the aggregate-first EdgeNet: rows 0..4T = out-direction (a free
+    reshape — (e, i) are adjacent dims), rows 4T..8T = in-direction (the
+    ONE transpose per forward, hoisted out of the layer loop)."""
+    p, e, t, _ = adj.shape
+    adj_out = adj.reshape(p, e * t, t)
+    adj_in = jnp.swapaxes(adj, 2, 3).reshape(p, e * t, t)
+    return jnp.concatenate([adj_out, adj_in], axis=1)
 
 
 class PackedMPNN(nn.Module):
@@ -401,10 +453,18 @@ class PackedMPNN(nn.Module):
             for i in range(n_message)
         ]
         gru_states = [jnp.zeros_like(h) for _ in range(n_message)]
+        # aggregate-first EdgeNet: build the stacked (P, 8T, T)
+        # adjacency ONCE per forward (the in-direction transpose was a
+        # per-layer cost in the r2/r3 forms)
+        adj_cat = (
+            build_edgenet_adj_cat(adj)
+            if self.message_func == "edgenet" and EDGENET_AGGFIRST else None
+        )
         for step in range(self.n_layers):
             k = 0 if self.weight_tying else step
             if self.message_func == "edgenet":
-                x = msgs[k](h, adj, mol_id, node_mask, num_mols)
+                x = msgs[k](h, adj, mol_id, node_mask, num_mols,
+                            adj_cat=adj_cat)
             else:
                 m = msgs[k](h, adj)
                 x = jnp.concatenate([h, m], axis=-1)

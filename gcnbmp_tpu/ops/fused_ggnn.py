@@ -76,6 +76,18 @@ MERGE_GATES = False
 # adjacency pre-flattened to (K, T, 4T).
 AGG_FLAT = True
 
+# Round 4 (VERDICT r3 #5): batch the per-tile aggregation over the
+# K-tile block as ONE dot_general per layer — (K, T, 4T) x (K, 4T, H)
+# with K as the batch dim — instead of a Python loop issuing K separate
+# matmuls.  The per-layer hw stack is built by a single (KT, H) x
+# (H, 4H) matmul into the edge-major layout and a VMEM-local
+# (K, T, 4, H) -> (K, 4, T, H) transpose (lane dim stays last).  Cuts
+# the kernel's MXU instruction count per layer from K+4 to 2 at the
+# cost of the transpose — measured per width on hardware
+# (scripts/tpu_sweep.py fused*_kbatch rows); env-gated so sweeps can
+# A/B without an edit.
+AGG_KBATCH = _os.environ.get("GCNBMP_FUSED_KBATCH") == "1"
+
 # Experimental: run every kernel matmul with bf16 operands (f32
 # accumulation via preferred_element_type) — the MXU's native precision.
 # Env-gated for bench sweeps; gradients get bf16-operand rounding, so
@@ -90,29 +102,62 @@ def _mm(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _bmm(a, b, contract):
+    """Batched matmul over the leading (K) dim: contract ``a`` dim
+    ``contract`` with ``b`` dim 1 (the AGG_KBATCH aggregation form)."""
+    if MATMUL_BF16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((contract,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _kbatch_message(k_tiles, h, adj, wmsg, bmsg):
+    """AGG_KBATCH forward message: one (KT, H) x (H, 4H) edge-major
+    matmul + one K-batched (K, T, 4T) x (K, 4T, H) dot_general."""
+    t = TILE
+    hidden = h.shape[-1]
+    w_all = jnp.concatenate([wmsg[e] for e in range(NUM_EDGE_TYPE)], axis=1)
+    b_all = jnp.concatenate([bmsg[e] for e in range(NUM_EDGE_TYPE)], axis=1)
+    hw_all = _mm(h, w_all) + b_all                      # (KT, 4H)
+    hw_stack = (
+        hw_all.reshape(k_tiles, t, NUM_EDGE_TYPE, hidden)
+        .transpose(0, 2, 1, 3)
+        .reshape(k_tiles, NUM_EDGE_TYPE * t, hidden)
+    )
+    m = _bmm(adj, hw_stack, 2).reshape(k_tiles * t, hidden)
+    return m
+
+
 def _layer_fwd(k_tiles, h, state, adj, wmsg, bmsg,
                wz, uz, bz, wr, ur, br, wn, un, bn):
     """One GGNN layer on a (K*T, H) block.
 
     adj: (K, T, 4T) flattened (AGG_FLAT) or (K, 4, T, T), f32."""
     t = TILE
-    hw = [
-        _mm(h, wmsg[e]) + bmsg[e]
-        for e in range(NUM_EDGE_TYPE)
-    ]  # 4 x (KT, H)
-    m_parts = []
-    for k in range(k_tiles):
-        if AGG_FLAT:
-            hw_stack = jnp.concatenate(
-                [hw[e][k * t:(k + 1) * t] for e in range(NUM_EDGE_TYPE)], axis=0
-            )  # (4T, H)
-            m_k = _mm(adj[k], hw_stack)
-        else:
-            m_k = _mm(adj[k, 0], hw[0][k * t:(k + 1) * t])
-            for e in range(1, NUM_EDGE_TYPE):
-                m_k = m_k + _mm(adj[k, e], hw[e][k * t:(k + 1) * t])
-        m_parts.append(m_k)
-    m = jnp.concatenate(m_parts, axis=0)  # (KT, H)
+    if AGG_KBATCH:
+        m = _kbatch_message(k_tiles, h, adj, wmsg, bmsg)
+    else:
+        hw = [
+            _mm(h, wmsg[e]) + bmsg[e]
+            for e in range(NUM_EDGE_TYPE)
+        ]  # 4 x (KT, H)
+        m_parts = []
+        for k in range(k_tiles):
+            if AGG_FLAT:
+                hw_stack = jnp.concatenate(
+                    [hw[e][k * t:(k + 1) * t] for e in range(NUM_EDGE_TYPE)],
+                    axis=0,
+                )  # (4T, H)
+                m_k = _mm(adj[k], hw_stack)
+            else:
+                m_k = _mm(adj[k, 0], hw[0][k * t:(k + 1) * t])
+                for e in range(1, NUM_EDGE_TYPE):
+                    m_k = m_k + _mm(adj[k, e], hw[e][k * t:(k + 1) * t])
+            m_parts.append(m_k)
+        m = jnp.concatenate(m_parts, axis=0)  # (KT, H)
     x = jnp.concatenate([h, m], axis=-1)
     hidden = h.shape[-1]
     if MERGE_GATES:
@@ -228,7 +273,28 @@ def _bwd_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref, bmsg_ref,
         dbn_ref[...] += jnp.sum(dn_pre, axis=0, keepdims=True)
 
         # message backward
-        if AGG_FLAT:
+        if AGG_KBATCH:
+            # one K-batched (K, 4T, T) x (K, T, H) dot_general for the
+            # upstream hw grads, then batched weight/bias/input grads
+            # over the edge-major (KT, 4H) layout (the forward's layout,
+            # inverted by the same VMEM-local transpose)
+            dm_b = dm.reshape(k_tiles, t, hidden)
+            dhw_stack = _bmm(adj, dm_b, 1)  # (K, 4T, H): adj[k].T @ dm_k
+            dhw_all = (
+                dhw_stack.reshape(k_tiles, NUM_EDGE_TYPE, t, hidden)
+                .transpose(0, 2, 1, 3)
+                .reshape(kt, NUM_EDGE_TYPE * hidden)
+            )
+            w_all = jnp.concatenate(
+                [wmsg_ref[l, e] for e in range(NUM_EDGE_TYPE)], axis=1
+            )  # (H, 4H)
+            dw_all = _mm(h_in.T, dhw_all)  # (H, 4H)
+            db_all = jnp.sum(dhw_all, axis=0, keepdims=True)
+            for e in range(NUM_EDGE_TYPE):
+                dwmsg_ref[l, e] += dw_all[:, e * hidden:(e + 1) * hidden]
+                dbmsg_ref[l, e] += db_all[:, e * hidden:(e + 1) * hidden]
+            dh_in = dh_in + _mm(dhw_all, w_all.T)
+        elif AGG_FLAT:
             # dhw_stack_k = adj_flat[k]^T @ dm_k : ONE (4T, T) x (T, H)
             # matmul per tile; per-edge rows are sublane-aligned slices
             dhw_stacks = [

@@ -403,7 +403,8 @@ def _window_parallel(items, build, workers: int):
 def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
                               num_tiles: int, edge_capacity: int,
                               rng: np.random.Generator, supernode_fn=None,
-                              pack_workers: int = 4):
+                              pack_workers: int = 4,
+                              pack_cache: "list | None" = None):
     """Shuffled COO packed batches with fixed tile/edge capacities.  Uses
     the native C++ packer (native/pack.cpp) when available — the Python
     packer costs ~200 ms/2048-pair batch vs ~7 ms device step — and falls
@@ -411,9 +412,23 @@ def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
     attaches the per-molecule supernode table (GWM).  Packing runs
     ``pack_workers`` batches ahead on a thread pool (the native packer
     releases the GIL): on the bf16 scan path the ~6-9 ms serial pack had
-    become the pipeline bottleneck (bench.py --sustained, DESIGN.md §5)."""
+    become the pipeline bottleneck (bench.py --sustained, DESIGN.md §5).
+
+    ``pack_cache`` (round 4, VERDICT r3 #2): a caller-owned list.  When
+    empty, this epoch's packed batches are appended to it as they are
+    produced; when non-empty, the cached batches are yielded in a fresh
+    random order WITHOUT re-packing — shuffling moves from pair level to
+    batch level after epoch 1 (partition shuffling), which removes the
+    per-epoch host pack cost entirely.  Trade-off documented in
+    TrainConfig.reuse_packs; quality validated at reference scale
+    (docs/QUALITY.md round-4 reuse-packs row)."""
     from gcnbmp_tpu.data import native_pack
     from gcnbmp_tpu.data.packing import attach_supers_coo, pack_pair_dataset_coo
+
+    if pack_cache:
+        for i in rng.permutation(len(pack_cache)):
+            yield pack_cache[i]
+        return
 
     cache = None
     if native_pack.native_pack_available():
@@ -440,10 +455,13 @@ def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
 
     starts = range(0, len(ds) - batch_size + 1, batch_size)
     if pack_workers > 1:
-        yield from _window_parallel(starts, build, pack_workers)
+        produced = _window_parallel(starts, build, pack_workers)
     else:
-        for start in starts:
-            yield build(start)
+        produced = (build(s) for s in starts)
+    for b in produced:
+        if pack_cache is not None:
+            pack_cache.append(b)
+        yield b
 
 
 def make_eval_step_coo(coo_predictor):
@@ -469,8 +487,11 @@ def packed_config_problems(cfg, allow_attn: bool = False) -> List[str]:
         # (the per-molecule supernode table travels with the batch)
         if cfg.compute_path not in ("packed", "coo"):
             problems.append("ggnn-gwm rides compute_path 'packed' or 'coo'")
-        if getattr(cfg, "multi_device", False):
-            problems.append("ggnn-gwm: no multi_device")
+        if (getattr(cfg, "multi_device", False)
+                and cfg.compute_path != "coo"):
+            problems.append(
+                "ggnn-gwm multi_device rides compute_path='coo' "
+                "(owner-masked edgeshard)")
         if getattr(cfg, "scan_steps", 0) > 1 and cfg.compute_path != "coo":
             problems.append("ggnn-gwm scan mode requires compute_path='coo'")
     elif cfg.method not in PACKED_ENCODERS:
@@ -710,6 +731,9 @@ class Trainer:
             {"gamma": cfg.focal_gamma, "alpha": cfg.focal_alpha}
             if cfg.loss == "focal" else {}
         )
+        # epoch-1 packed batches, reused (batch-level reshuffle) when
+        # cfg.reuse_packs — see packed_coo_batch_iterator
+        self._pack_cache = [] if cfg.reuse_packs else None
         self.loss_fn = make_loss(cfg.loss, **loss_kwargs)
         packed = cfg.compute_path in ("packed", "fused", "coo")
         if cfg.multi_device and cfg.compute_path not in ("packed", "coo"):
@@ -752,54 +776,118 @@ class Trainer:
                 from gcnbmp_tpu.models.packed import FusedCompactApply
 
                 train_predictor = FusedCompactApply(packed_predictor)
-            if cfg.multi_device and cfg.scan_steps > 1:
-                raise ValueError("multi_device requires scan_steps=1")
-            if cfg.scan_steps > 1:
-                train_step = make_packed_scan_train_step(
-                    train_predictor, self.optimizer, cfg.class_num,
-                    self.loss_fn, debug_checks=cfg.debug_checks,
-                )
-            elif coo and cfg.multi_device:
+            if cfg.multi_device and cfg.scan_steps > 1 \
+                    and cfg.compute_path != "coo":
+                raise ValueError(
+                    "multi_device scan mode rides compute_path='coo'")
+            if coo and cfg.multi_device:
                 # graph-sharded training over the sustained COO input
                 # path: each device scatter-builds its local tile
-                # adjacency from its edge shard (parallel/edgeshard.py
-                # make_edgeshard_coo_*); supports multi-hot labels
-                if cfg.attn is not None:
-                    raise ValueError(
-                        "multi_device COO does not support co-attention")
-                if cfg.loss != "sigmoid_ce":
-                    raise ValueError(
-                        "multi_device supports sigmoid-CE only")
+                # adjacency from its edge shard (parallel/edgeshard.py).
+                # Round 4 (VERDICT r3 #4): this runs the PRODUCTION
+                # configuration — bf16 compute_dtype rides the
+                # predictor, scan_steps composes via
+                # make_edgeshard_scan_train_step, co-attention completes
+                # the atom table with one all_gather, GWM contributes
+                # owner-masked supernode embeddings, and focal/hinge
+                # losses reduce through the same global-mean psums.
                 import numpy as _np
 
                 from gcnbmp_tpu.parallel.edgeshard import (
-                    make_edgeshard_coo_train_step,
+                    elementwise_loss_for,
+                    make_edgeshard_coattn_loss,
+                    make_edgeshard_coo_loss,
+                    make_edgeshard_gwm_loss,
+                    make_edgeshard_scan_train_step,
+                    make_edgeshard_train_step_from_loss,
+                    pad_partition_coattn,
+                    pad_partition_coo,
+                    pad_partition_gwm,
+                    shard_packed_coattn_batch,
                     shard_packed_coo_batch,
+                    shard_packed_gwm_batch,
                 )
 
                 self._mesh = jax.sharding.Mesh(
                     _np.asarray(jax.devices()), ("graph",)
                 )
+                n_dev = len(jax.devices())
+                if cfg.scan_steps > 1 and cfg.batch_size % n_dev:
+                    raise ValueError(
+                        "multi_device scan mode requires batch_size "
+                        f"divisible by the device count ({n_dev})")
+                elem_loss = elementwise_loss_for(cfg.loss, **loss_kwargs)
                 # static per-shard edge capacity: the GLOBAL capacity
                 # (always sufficient — no data-dependent mid-training
                 # failure; edge arrays are small, so the extra masked
                 # scatter input is cheap relative to a ValueError hours
                 # into a run).  self.edge_capacity is set right after
-                # this dispatch block; the lambda reads it lazily.
-                n_dev = len(jax.devices())
-                self._shard_batch = lambda b: shard_packed_coo_batch(
-                    b, self._mesh, axis="graph",
-                    edge_capacity_per_shard=(
-                        ((self.edge_capacity + 127) // 128) * 128
-                    ),
-                )
-                train_step = make_edgeshard_coo_train_step(
-                    packed_predictor, self.optimizer, self._mesh,
-                    axis="graph",
-                )
+                # this dispatch block; the closures read it lazily.
+                cap = lambda: ((self.edge_capacity + 127) // 128) * 128
+                self._stack_replicated = ()
+                if self.uses_supernodes:
+                    loss_fn = make_edgeshard_gwm_loss(
+                        packed_predictor, self._mesh, axis="graph",
+                        elementwise_loss=elem_loss,
+                    )
+                    self._shard_batch = lambda b: shard_packed_gwm_batch(
+                        b, self._mesh, axis="graph",
+                        edge_capacity_per_shard=cap(),
+                    )
+                    self._partition_batch = lambda b: pad_partition_gwm(
+                        b, n_dev, edge_capacity_per_shard=cap())
+                    from gcnbmp_tpu.parallel.edgeshard import (
+                        GWM_SUPERS_INDEX,
+                    )
+
+                    self._stack_replicated = (GWM_SUPERS_INDEX,)
+                elif cfg.attn is not None:
+                    # n_max for the pair atom-slot tables, same bound
+                    # the single-device co-attention path uses (set
+                    # below from the datasets); read lazily
+                    loss_fn = make_edgeshard_coattn_loss(
+                        packed_predictor, self._mesh, axis="graph",
+                        elementwise_loss=elem_loss,
+                    )
+                    self._shard_batch = (
+                        lambda b: shard_packed_coattn_batch(
+                            b, self._mesh, axis="graph",
+                            n_max=self._coattn_n_max,
+                            edge_capacity_per_shard=cap(),
+                        )
+                    )
+                    self._partition_batch = (
+                        lambda b: pad_partition_coattn(
+                            b, n_dev, self._coattn_n_max,
+                            edge_capacity_per_shard=cap())
+                    )
+                else:
+                    loss_fn = make_edgeshard_coo_loss(
+                        packed_predictor, self._mesh, axis="graph",
+                        elementwise_loss=elem_loss,
+                    )
+                    self._shard_batch = lambda b: shard_packed_coo_batch(
+                        b, self._mesh, axis="graph",
+                        edge_capacity_per_shard=cap(),
+                    )
+                    self._partition_batch = lambda b: pad_partition_coo(
+                        b, n_dev, edge_capacity_per_shard=cap())
+                if cfg.scan_steps > 1:
+                    train_step = make_edgeshard_scan_train_step(
+                        loss_fn, self.optimizer)
+                else:
+                    train_step = make_edgeshard_train_step_from_loss(
+                        loss_fn, self.optimizer)
                 logging.info(
                     "multi_device: COO graph-sharded training over %d "
-                    "devices", n_dev,
+                    "devices (scan_steps=%d, loss=%s, attn=%s, gwm=%s)",
+                    n_dev, cfg.scan_steps, cfg.loss, cfg.attn,
+                    self.uses_supernodes,
+                )
+            elif cfg.scan_steps > 1:
+                train_step = make_packed_scan_train_step(
+                    train_predictor, self.optimizer, cfg.class_num,
+                    self.loss_fn, debug_checks=cfg.debug_checks,
                 )
             elif coo:
                 train_step = make_packed_coo_train_step(
@@ -881,7 +969,8 @@ class Trainer:
                         for ds in eval_datasets
                     ))
                     n_max = ((n_max + 7) // 8) * 8  # lane-friendly pad
-                    coo_args_fn = (
+                    self._coattn_n_max = n_max  # read by the edgeshard
+                    coo_args_fn = (                # partition closures
                         lambda b: compact_coattn_arrays(b, n_max)
                     )
                 else:
@@ -950,6 +1039,8 @@ class Trainer:
                     self.train_ds, cfg.batch_size, self.num_tiles,
                     self.edge_capacity, self.np_rng,
                     supernode_fn=self.supernode_fn,
+                    pack_workers=cfg.pack_workers,
+                    pack_cache=self._pack_cache,
                 )
                 if cfg.debug_checks:
                     batches = (b.validate() for b in batches)
@@ -966,7 +1057,13 @@ class Trainer:
                 )
             scanning = packed and cfg.scan_steps > 1
             if scanning:
-                if coo:
+                if coo and cfg.multi_device:
+                    # pre-partitioned global arrays (labels stripped —
+                    # batch_size % n_dev == 0 is enforced, so the
+                    # partition adds no pair padding and the raw labels
+                    # stack matches)
+                    scan_args_fn = lambda b: self._partition_batch(b)[:-1]
+                elif coo:
                     scan_args_fn = coo_args_fn
                 else:
                     adj_np_dtype = (
@@ -984,7 +1081,13 @@ class Trainer:
                 from gcnbmp_tpu.data.prefetch import PrefetchIterator
 
                 transfer = None
-                if scanning:
+                if scanning and cfg.multi_device:
+                    def transfer(item):
+                        stacked, labels, edges = item
+                        args, lab = self._put_stacked_sharded(
+                            stacked, labels)
+                        return (args, lab, edges)
+                elif scanning:
                     def transfer(item):
                         stacked, labels, edges = item
                         return (
@@ -1018,6 +1121,11 @@ class Trainer:
             for batch in batches:
                 if scanning:
                     stacked, labels, batch_edges = batch
+                    if (cfg.multi_device
+                            and not isinstance(stacked[0], jax.Array)):
+                        # no prefetcher staged it — shard here
+                        stacked, labels = self._put_stacked_sharded(
+                            stacked, labels)
                     state.params, state.opt_state, losses = train_step(
                         state.params, state.opt_state,
                         tuple(jnp.asarray(a) for a in stacked),
@@ -1171,6 +1279,21 @@ class Trainer:
 
         save_checkpoint(os.path.join(cfg.out_dir, "final"), state)
         return {"state": state, "log": self.log}
+
+    def _put_stacked_sharded(self, stacked, labels):
+        """Device-place a scan chunk for the multi-device edgeshard scan
+        step: scan dim unsharded, shard axis on dim 1; arrays listed in
+        ``_stack_replicated`` (the GWM supernode table) ride replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self._mesh, P(None, "graph"))
+        sh_rep = NamedSharding(self._mesh, P())
+        args = tuple(
+            jax.device_put(jnp.asarray(a),
+                           sh_rep if i in self._stack_replicated else sh)
+            for i, a in enumerate(stacked)
+        )
+        return args, jax.device_put(jnp.asarray(labels), sh)
 
     def _check_packed_compatible(self, allow_attn: bool = False) -> None:
         problems = packed_config_problems(self.config, allow_attn=allow_attn)

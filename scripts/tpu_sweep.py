@@ -164,22 +164,27 @@ def run_circ(name="circ"):
     emit({"config": name, "path": "circ_microbench", "batch": b, **rows})
 
 
-def run_fused(name, hidden, bwd_k=None):
+def run_fused(name, hidden, bwd_k=None, kbatch=None):
     from gcnbmp_tpu.ops import fused_ggnn
 
     bench.HIDDEN = hidden
     bench.COMPUTE_DTYPE = None
     saved = fused_ggnn.DEFAULT_BWD_BLOCK_TILES
+    saved_kb = fused_ggnn.AGG_KBATCH
     if bwd_k is not None:
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = bwd_k
+    if kbatch is not None:
+        fused_ggnn.AGG_KBATCH = kbatch
     device = jax.devices()[0]
     try:
         eps, dt, edges = bench.measure_fused(device, bench.ITERS)
     finally:
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = saved
+        fused_ggnn.AGG_KBATCH = saved_kb
     emit({
         "config": name, "path": "fused", "hidden": hidden,
         "bwd_k": bwd_k or saved,
+        "kbatch": kbatch if kbatch is not None else saved_kb,
         "dtype": "bf16" if fused_ggnn.MATMUL_BF16 else "f32",
         "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
     })
@@ -198,7 +203,7 @@ def run_coo_scan(name, hidden, dtype=None):
     })
 
 
-def run_fused_coo_scan(name, hidden, bwd_k=None):
+def run_fused_coo_scan(name, hidden, bwd_k=None, kbatch=None):
     """The fused+COO+scan production config (round 3): wire-compact
     batches stacked in HBM, one lax.scan dispatch, adjacency
     scatter-built per step in the kernel's flat layout, message/GRU
@@ -221,8 +226,11 @@ def run_fused_coo_scan(name, hidden, bwd_k=None):
 
     bench.HIDDEN = hidden
     saved = fused_ggnn.DEFAULT_BWD_BLOCK_TILES
+    saved_kb = fused_ggnn.AGG_KBATCH
     if bwd_k is not None:
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = bwd_k
+    if kbatch is not None:
+        fused_ggnn.AGG_KBATCH = kbatch
     device = jax.devices()[0]
     try:
         ds = bench.build_dataset()
@@ -267,10 +275,12 @@ def run_fused_coo_scan(name, hidden, bwd_k=None):
         dt = (time.time() - t0) / (bench.ITERS * bench.SCAN_STEPS)
     finally:
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = saved
+        fused_ggnn.AGG_KBATCH = saved_kb
     edges = float(np.mean([b.num_edges for b in chunks]))
     emit({
         "config": name, "path": "fused_coo_scan", "hidden": hidden,
         "bwd_k": bwd_k or saved,
+        "kbatch": kbatch if kbatch is not None else saved_kb,
         "step_ms": round(dt * 1e3, 3), "edges_per_s": round(edges / dt),
     })
 
@@ -282,15 +292,46 @@ def run_mpnn_ab(name="mpnn_ab"):
 
     device = jax.devices()[0]
     bench.HIDDEN = 32
-    for label, flat in (("einsum", False), ("flat", True)):
-        packed_mod.EDGENET_FLAT = flat
-        eps, dt, _ = bench.measure_packed_method(device, bench.ITERS, "mpnn")
-        emit({
-            "config": f"{name}_{label}", "path": "packed_mpnn",
-            "edgenet": label, "hidden": 32,
-            "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
-        })
-    packed_mod.EDGENET_FLAT = True
+    saved_af = packed_mod.EDGENET_AGGFIRST
+    packed_mod.EDGENET_AGGFIRST = False
+    try:
+        for label, flat in (("einsum", False), ("flat", True)):
+            packed_mod.EDGENET_FLAT = flat
+            eps, dt, _ = bench.measure_packed_method(device, bench.ITERS,
+                                                     "mpnn")
+            emit({
+                "config": f"{name}_{label}", "path": "packed_mpnn",
+                "edgenet": label, "hidden": 32,
+                "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+            })
+    finally:
+        packed_mod.EDGENET_FLAT = True
+        packed_mod.EDGENET_AGGFIRST = saved_af
+
+
+def run_mpnn_ab3(name="mpnn_ab3"):
+    """Round-4 EdgeNet A/B (VERDICT r3 #7): r3 'flat' single
+    contraction (per-layer hm materialization + adjacency transposes)
+    vs the aggregate-first form (no hm tensor; one hoisted transpose
+    per forward)."""
+    from gcnbmp_tpu.models import packed as packed_mod
+
+    device = jax.devices()[0]
+    bench.HIDDEN = 32
+    saved_af = packed_mod.EDGENET_AGGFIRST
+    try:
+        for label, aggfirst in (("flat", False), ("aggfirst", True)):
+            packed_mod.EDGENET_AGGFIRST = aggfirst
+            packed_mod.EDGENET_FLAT = True
+            eps, dt, _ = bench.measure_packed_method(device, bench.ITERS,
+                                                     "mpnn")
+            emit({
+                "config": f"{name}_{label}", "path": "packed_mpnn",
+                "edgenet": label, "hidden": 32,
+                "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+            })
+    finally:
+        packed_mod.EDGENET_AGGFIRST = saved_af
 
 
 def run_onehot_ab(name="onehot"):
@@ -352,6 +393,16 @@ CONFIGS = {
     "scan64": lambda: run_scan("scan64", 64, None),
     "scan_bf16_64": lambda: run_scan("scan_bf16_64", 64, jnp.bfloat16),
     "mpnn_ab": run_mpnn_ab,
+    "mpnn_ab3": run_mpnn_ab3,
+    # round-4 fused-kernel K-batched aggregation A/B (VERDICT r3 #5)
+    "fused32_kbatch": lambda: run_fused("fused32_kbatch", 32, kbatch=True),
+    "fused64_kbatch": lambda: run_fused("fused64_kbatch", 64, kbatch=True),
+    "fused128_kbatch": lambda: run_fused("fused128_kbatch", 128,
+                                         kbatch=True),
+    "fused_coo_scan64_kbatch": lambda: run_fused_coo_scan(
+        "fused_coo_scan64_kbatch", 64, kbatch=True),
+    "fused_coo_scan32_kbatch": lambda: run_fused_coo_scan(
+        "fused_coo_scan32_kbatch", 32, kbatch=True),
     "circ": run_circ,
     "infer32": lambda: run_infer("infer32", 32, None),
     "infer_bf16_32": lambda: run_infer("infer_bf16_32", 32, jnp.bfloat16),

@@ -156,3 +156,41 @@ def test_scan_matches_sequential(tmp_path, path):
         [e["main/loss"] for e in seq["log"]],
         [e["main/loss"] for e in scan["log"]], rtol=1e-5, atol=1e-7,
     )
+
+
+def test_reuse_packs_training_learns(tmp_path):
+    """cfg.reuse_packs: epoch-1 packed batches are reused with
+    batch-level reshuffle (VERDICT r3 #2 — removes the per-epoch host
+    pack cost); training still learns the toy task and the cache is
+    populated exactly once."""
+    cfg = TrainConfig(
+        method="ggnn", sim_method="hole", fp_hidden_dim=8, fp_out_dim=8,
+        conv_layers=2, batch_size=8, learning_rate=5e-3, epochs=10,
+        early_stop_patience=100, out_dir=str(tmp_path / "reuse"),
+        snapshot_interval=100, seed=0, compute_path="coo",
+        reuse_packs=True, plot_reports=False,
+    )
+    trainer = Trainer(cfg, _toy(), val_ds=_toy(seed=1))
+    result = trainer.fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert log[-1]["train/roc_auc"] > 0.8
+    # 48 pairs / batch 8 -> 6 batches, cached once (not re-packed)
+    assert len(trainer._pack_cache) == 6
+
+
+def test_reuse_packs_with_scan(tmp_path):
+    """reuse_packs composes with scan mode (the production sustained
+    pipeline: cached packs -> scan chunks)."""
+    cfg = TrainConfig(
+        method="ggnn", sim_method="hole", fp_hidden_dim=8, fp_out_dim=8,
+        conv_layers=2, batch_size=8, learning_rate=5e-3, epochs=10,
+        early_stop_patience=100, out_dir=str(tmp_path / "reuse_scan"),
+        snapshot_interval=100, seed=0, compute_path="coo", scan_steps=2,
+        reuse_packs=True, plot_reports=False,
+    )
+    trainer = Trainer(cfg, _toy(), val_ds=_toy(seed=1))
+    result = trainer.fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert log[-1]["train/roc_auc"] > 0.8

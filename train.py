@@ -62,6 +62,16 @@ def parse_args(argv=None):
     p.add_argument("--scan-steps", dest="scan_steps", type=int, default=None,
                    help="coo path: train steps per XLA dispatch (lax.scan)")
     p.add_argument("--loss", default=None, choices=["sigmoid_ce", "hinge", "focal"])
+    p.add_argument("--focal-gamma", dest="focal_gamma", type=float,
+                   default=None)
+    p.add_argument("--focal-alpha", dest="focal_alpha", type=float,
+                   default=None)
+    p.add_argument("--reuse-packs", dest="reuse_packs", action="store_true",
+                   default=None,
+                   help="reuse epoch-1 packed batches with batch-level "
+                        "reshuffle (removes per-epoch host pack cost)")
+    p.add_argument("--pack-workers", dest="pack_workers", type=int,
+                   default=None)
     p.add_argument("--no-eval-train", dest="eval_train", action="store_false",
                    default=None)
     p.add_argument("--concat-hidden", dest="concat_hidden", action="store_true",
