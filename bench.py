@@ -297,9 +297,10 @@ def measure_packed_method(device, iters, method):
     predictor = make_packed_predictor(
         fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
         weight_tying=False, sim_method="hole", method=method,
-        # compute_dtype is plumbed for ggnn/relgcn/gin only; nfp/mpnn
-        # run f32 regardless (make_packed_predictor would raise)
-        compute_dtype=(COMPUTE_DTYPE if method in ("ggnn", "relgcn", "gin")
+        # compute_dtype is plumbed for ggnn/relgcn/gin/mpnn; nfp runs
+        # f32 regardless (make_packed_predictor would raise)
+        compute_dtype=(COMPUTE_DTYPE
+                       if method in ("ggnn", "relgcn", "gin", "mpnn")
                        else None),
     )
     optimizer = optax.adam(1e-3)

@@ -313,11 +313,13 @@ EDGENET_FLAT = True
 # forward, not per layer, for the in direction) and applies the
 # per-edge-type matrices to the aggregate afterwards (4 small
 # sublane-aligned matmuls per direction).  No hm tensor, no per-layer
-# adjacency transposes.  A/B-measured on hardware by
-# scripts/tpu_sweep.py mpnn_ab3 (SWEEPS_r04); override via
-# GCNBMP_EDGENET_MODE=flat|einsum|aggfirst.
+# adjacency transposes.  MEASURED SLOWER on the v5e (mpnn_ab3,
+# SWEEPS_r04: 36.5 vs 32.9 ms at h=32 — the (2T, 4T)x(4T, ch) form's
+# longer 512-contraction beats the (8T, T)x(T, ch) form's shorter one;
+# XLA already CSEs the per-layer transposes) — kept OFF by default as
+# a measured dead end; A/B via GCNBMP_EDGENET_MODE=aggfirst.
 EDGENET_AGGFIRST = (
-    os.environ.get("GCNBMP_EDGENET_MODE", "aggfirst") == "aggfirst"
+    os.environ.get("GCNBMP_EDGENET_MODE", "flat") == "aggfirst"
 )
 
 
@@ -329,10 +331,16 @@ class PackedEdgeNet(nn.Module):
 
     ``adj_cat``: optional precomputed (P, 8T, T) stacked adjacency
     (build_edgenet_adj_cat) consumed by the aggregate-first form —
-    hoisted out of the layer loop by PackedMPNN."""
+    hoisted out of the layer loop by PackedMPNN.
+
+    ``compute_dtype=jnp.bfloat16`` runs the hm build and the adjacency
+    contraction with bf16 operands (f32 accumulation) — the adjacency
+    re-read is the layer's dominant HBM traffic and bf16 is exact for
+    its 0/1 values."""
 
     out_channels: int
     edge_hidden_dim: int = 16
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, h, adj, mol_id, node_mask, num_mols: int,
@@ -375,7 +383,12 @@ class PackedEdgeNet(nn.Module):
                 [out + bg_nodes, inn + bg_nodes], axis=-1
             )
 
-        hm = jnp.einsum("tcd,pjd->ptjc", m_types - m0, h)  # (P, 4, T, ch)
+        cd = self.compute_dtype
+        cast = (lambda x: x.astype(cd)) if cd is not None else (lambda x: x)
+        hm = jnp.einsum(
+            "tcd,pjd->ptjc", cast(m_types - m0), cast(h),
+            preferred_element_type=jnp.float32,
+        )  # (P, 4, T, ch)
 
         if not EDGENET_FLAT:  # round-2 form, kept for A/B sweeps
             def directed(a):
@@ -396,7 +409,7 @@ class PackedEdgeNet(nn.Module):
         both = jnp.concatenate([adj_out, adj_in], axis=1)  # (P, 2T, 4T)
         hm_flat = hm.reshape(p, 4 * t, ch)
         msgs = jax.lax.dot_general(
-            both, hm_flat,
+            cast(both), cast(hm_flat),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (P, 2T, ch)
@@ -431,6 +444,10 @@ class PackedMPNN(nn.Module):
     message_func: str = "edgenet"
     readout_func: str = "set2set"
     edge_hidden_dim: int = 16
+    # bf16 message/GRU compute (f32 accumulation); the EdgeNet adjacency
+    # contraction is the step's dominant HBM read and bf16 is exact for
+    # the 0/1 adjacency (round 4, VERDICT r3 #7)
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, atom_ids, adj, mol_id, node_mask, num_mols: int):
@@ -440,16 +457,19 @@ class PackedMPNN(nn.Module):
         if self.message_func == "edgenet":
             msgs = [
                 PackedEdgeNet(self.hidden_dim, self.edge_hidden_dim,
+                              compute_dtype=self.compute_dtype,
                               name=f"message_{i}")
                 for i in range(n_message)
             ]
         else:
             msgs = [
-                GGNNMessage(self.hidden_dim, name=f"message_{i}")
+                GGNNMessage(self.hidden_dim, dtype=self.compute_dtype,
+                            name=f"message_{i}")
                 for i in range(n_message)
             ]
         grus = [
-            ChainerGRUCell(self.hidden_dim, name=f"gru_{i}")
+            ChainerGRUCell(self.hidden_dim, dtype=self.compute_dtype,
+                           name=f"gru_{i}")
             for i in range(n_message)
         ]
         gru_states = [jnp.zeros_like(h) for _ in range(n_message)]
@@ -729,6 +749,40 @@ def compact_gwm_arrays(batch) -> Tuple:
     return nodes, e_packed, n_edges, batch.supers, left, right
 
 
+# Round 4: run the gated readout INSIDE the fused Pallas kernel
+# (ops/fused_ggnn.fused_ggnn_readout) — saves the h writeback + XLA
+# re-reads + several launches.  A/B-gated for hardware sweeps.
+FUSED_READOUT = os.environ.get("GCNBMP_FUSED_READOUT") == "1"
+
+
+def _fused_encoder_g_nodes(enc, ep, h0, adj, node_mask):
+    """The fused message/GRU stack, returning readout g_nodes — either
+    kernel-fused readout (FUSED_READOUT) or the XLA readout epilogue."""
+    from gcnbmp_tpu.ops.fused_ggnn import (
+        fused_ggnn,
+        fused_ggnn_readout,
+        params_to_fused,
+    )
+
+    msg_w, msg_b, gru = params_to_fused(
+        ep, enc.n_layers, enc.weight_tying, enc.hidden_dim
+    )
+    ro = ep["readout_0"]
+    if FUSED_READOUT:
+        return fused_ggnn_readout(
+            enc.n_layers, h0, adj, msg_w, msg_b, gru, node_mask,
+            ro["i"]["dense"]["kernel"], ro["i"]["dense"]["bias"],
+            ro["j"]["dense"]["kernel"], ro["j"]["dense"]["bias"],
+        )
+    h = fused_ggnn(enc.n_layers, h0, adj, msg_w, msg_b, gru)
+    gate = jax.nn.sigmoid(
+        jnp.concatenate([h, h0], axis=-1) @ ro["i"]["dense"]["kernel"]
+        + ro["i"]["dense"]["bias"]
+    )
+    g_nodes = gate * (h @ ro["j"]["dense"]["kernel"] + ro["j"]["dense"]["bias"])
+    return g_nodes * node_mask[..., None]
+
+
 def _embed_lookup(emb, atom_ids):
     """Atom-ID lookup for the fused-path helpers, matching EmbedAtomID's
     strategy: one-hot MXU matmul (exact; backward is a matmul instead of
@@ -758,22 +812,10 @@ def fused_pair_logits(
     stack running in the fused Pallas kernel (ops/fused_ggnn.py).
     Differentiable end-to-end (custom VJP inside); numerically equal to
     the XLA path and parameter-compatible with it."""
-    from gcnbmp_tpu.ops.fused_ggnn import fused_ggnn, params_to_fused
-
     enc: PackedGGNN = predictor.encoder
     ep = params["encoder"]
     h0 = _embed_lookup(ep["embed"]["embedding"], atom_ids)
-    msg_w, msg_b, gru = params_to_fused(
-        ep, enc.n_layers, enc.weight_tying, enc.hidden_dim
-    )
-    h = fused_ggnn(enc.n_layers, h0, adj, msg_w, msg_b, gru)
-    ro = ep["readout_0"]
-    gate = jax.nn.sigmoid(
-        jnp.concatenate([h, h0], axis=-1) @ ro["i"]["dense"]["kernel"]
-        + ro["i"]["dense"]["bias"]
-    )
-    g_nodes = gate * (h @ ro["j"]["dense"]["kernel"] + ro["j"]["dense"]["bias"])
-    g_nodes = g_nodes * node_mask[..., None]
+    g_nodes = _fused_encoder_g_nodes(enc, ep, h0, adj, node_mask)
     num_mols = 2 * left_index.shape[0]
     g = _segment_mol_sum(g_nodes, mol_id, num_mols)
     g1 = jnp.take(g, left_index, axis=0)
@@ -801,7 +843,6 @@ def fused_compact_logits(
     once per layer.  Differentiable end-to-end; parameter-compatible
     with PackedPairPredictorCOOCompact (same tree)."""
     from gcnbmp_tpu.ops.aggregate import adj_from_coo_flat
-    from gcnbmp_tpu.ops.fused_ggnn import fused_ggnn, params_to_fused
 
     enc: PackedGGNN = predictor.encoder
     num_mols = 2 * left_index.shape[0]
@@ -814,17 +855,7 @@ def fused_compact_logits(
     )
     ep = params["encoder"]
     h0 = _embed_lookup(ep["embed"]["embedding"], atom_ids)
-    msg_w, msg_b, gru = params_to_fused(
-        ep, enc.n_layers, enc.weight_tying, enc.hidden_dim
-    )
-    h = fused_ggnn(enc.n_layers, h0, adj_flat, msg_w, msg_b, gru)
-    ro = ep["readout_0"]
-    gate = jax.nn.sigmoid(
-        jnp.concatenate([h, h0], axis=-1) @ ro["i"]["dense"]["kernel"]
-        + ro["i"]["dense"]["bias"]
-    )
-    g_nodes = gate * (h @ ro["j"]["dense"]["kernel"] + ro["j"]["dense"]["bias"])
-    g_nodes = g_nodes * node_mask[..., None]
+    g_nodes = _fused_encoder_g_nodes(enc, ep, h0, adj_flat, node_mask)
     g = _segment_mol_sum(g_nodes, mol_id, num_mols)
     g1 = jnp.take(g, left_index, axis=0)
     g2 = jnp.take(g, right_index, axis=0)
@@ -872,9 +903,10 @@ def make_packed_predictor(
     head_kwargs: Dict[str, Any] = {"out_dim": class_num}
     if sim_method in ("hole", "mlp", "symmlp", "ntn", "dist-mult"):
         head_kwargs["hidden_dims"] = tuple(net_hidden_dims)
-    if compute_dtype is not None and method not in ("ggnn", "relgcn", "gin"):
+    if compute_dtype is not None and method not in ("ggnn", "relgcn", "gin",
+                                                    "mpnn"):
         raise ValueError(
-            "compute_dtype is plumbed for ggnn/relgcn/gin encoders only")
+            "compute_dtype is plumbed for ggnn/relgcn/gin/mpnn encoders only")
     # checked before the ggnn-gwm early return so every non-ggnn method
     # rejects the flag instead of silently ignoring it (ADVICE r3 #2)
     if layer_aggregator is not None and method != "ggnn":
@@ -931,7 +963,8 @@ def make_packed_predictor(
     elif method == "mpnn":
         encoder = PackedMPNN(
             out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
-            weight_tying=weight_tying, name="encoder",
+            weight_tying=weight_tying, compute_dtype=compute_dtype,
+            name="encoder",
         )
     else:
         raise ValueError(

@@ -81,11 +81,14 @@ AGG_FLAT = True
 # with K as the batch dim — instead of a Python loop issuing K separate
 # matmuls.  The per-layer hw stack is built by a single (KT, H) x
 # (H, 4H) matmul into the edge-major layout and a VMEM-local
-# (K, T, 4, H) -> (K, 4, T, H) transpose (lane dim stays last).  Cuts
-# the kernel's MXU instruction count per layer from K+4 to 2 at the
-# cost of the transpose — measured per width on hardware
-# (scripts/tpu_sweep.py fused*_kbatch rows); env-gated so sweeps can
-# A/B without an edit.
+# (K, T, 4, H) -> (K, 4, T, H) transpose (lane dim stays last).
+# MEASURED DEAD END on the v5e (SWEEPS_r04 *_kbatch rows): Mosaic
+# fails to lower the transpose+batched-dot at h=32/64 (remote-compile
+# MosaicError — lane dim H < 128 forces relayouts the compiler
+# rejects), and at h=128 (where it does lower) the step is SLOWER
+# (15.3 vs 10.8 ms) — the per-tile loop's K independent (T, 4T)
+# matmuls pipeline better than one batched op.  Kept off; A/B via
+# GCNBMP_FUSED_KBATCH=1.
 AGG_KBATCH = _os.environ.get("GCNBMP_FUSED_KBATCH") == "1"
 
 # Experimental: run every kernel matmul with bf16 operands (f32
@@ -469,6 +472,287 @@ def _fused_ggnn_bwd(n_layers, residuals, dh_final,
 
 
 fused_ggnn.defvjp(_fused_ggnn_fwd, _fused_ggnn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (VERDICT r3 #5b): the gated readout fused INTO the kernel.
+# The XLA path spends ~2.2 ms isolated on readout matmuls + mask +
+# their backward at h=32 (PROFILE_r03); with h and h0 already resident
+# in VMEM at the last layer, emitting g_nodes = sigmoid([h,h0]Wi+bi)
+# ⊙ (hWj+bj) ⊙ mask directly saves the h writeback, the XLA re-reads
+# of h/h0, and several kernel launches.  The molecule segment-sum,
+# HolE head, and loss stay in XLA (segment ops are one fused kernel
+# there already).  Enabled per-call (fused_ggnn_readout); the plain
+# fused_ggnn stays for co-attention paths that need raw atom states.
+
+
+def _readout_fwd(h, h0, mask, wi, bi, wj, bj):
+    pre_i = jnp.concatenate([h, h0], axis=-1)
+    gate = jax.nn.sigmoid(_mm(pre_i, wi) + bi)
+    out_j = _mm(h, wj) + bj
+    return gate * out_j * mask
+
+
+def _fwd_readout_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref,
+                        bmsg_ref, wz_ref, uz_ref, bz_ref, wr_ref, ur_ref,
+                        br_ref, wn_ref, un_ref, bn_ref,
+                        mask_ref, wi_ref, bi_ref, wj_ref, bj_ref, out_ref):
+    kt = k_tiles * TILE
+    h0 = h0_ref[...].reshape(kt, h0_ref.shape[-1])
+    h = h0
+    state = jnp.zeros_like(h)
+    adj = adj_ref[...].astype(jnp.float32)
+    for l in range(n_layers):
+        h, _ = _layer_fwd(
+            k_tiles, h, state, adj, wmsg_ref[l], bmsg_ref[l],
+            wz_ref[:], uz_ref[:], bz_ref[:],
+            wr_ref[:], ur_ref[:], br_ref[:],
+            wn_ref[:], un_ref[:], bn_ref[:],
+        )
+        state = h
+    mask = mask_ref[...].reshape(kt, 1)
+    g = _readout_fwd(h, h0, mask, wi_ref[:], bi_ref[:], wj_ref[:], bj_ref[:])
+    out_ref[...] = g.reshape(out_ref.shape)
+
+
+def _bwd_readout_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref,
+                        bmsg_ref, wz_ref, uz_ref, bz_ref, wr_ref, ur_ref,
+                        br_ref, wn_ref, un_ref, bn_ref,
+                        mask_ref, wi_ref, bi_ref, wj_ref, bj_ref,
+                        dg_ref,
+                        dh0_ref, dwmsg_ref, dbmsg_ref,
+                        dwz_ref, duz_ref, dbz_ref, dwr_ref, dur_ref, dbr_ref,
+                        dwn_ref, dun_ref, dbn_ref,
+                        dwi_ref, dbi_ref, dwj_ref, dbj_ref,
+                        h_scratch):
+    p = pl.program_id(0)
+
+    @pl.when(p == 0)
+    def _init():
+        for ref in (dwmsg_ref, dbmsg_ref, dwz_ref, duz_ref, dbz_ref,
+                    dwr_ref, dur_ref, dbr_ref, dwn_ref, dun_ref, dbn_ref,
+                    dwi_ref, dbi_ref, dwj_ref, dbj_ref):
+            ref[...] = jnp.zeros(ref.shape, jnp.float32)
+
+    t = TILE
+    kt = k_tiles * t
+    hidden = h0_ref.shape[-1]
+    adj = adj_ref[...].astype(jnp.float32)
+    weights = (wz_ref[:], uz_ref[:], bz_ref[:], wr_ref[:], ur_ref[:],
+               br_ref[:], wn_ref[:], un_ref[:], bn_ref[:])
+
+    # recompute forward, stashing each layer's input h in VMEM scratch
+    h0 = h0_ref[...].reshape(kt, hidden)
+    h = h0
+    state = jnp.zeros_like(h)
+    for l in range(n_layers):
+        h_scratch[l] = h
+        h, _ = _layer_fwd(k_tiles, h, state, adj, wmsg_ref[l], bmsg_ref[l],
+                          *weights)
+        state = h
+
+    # readout backward (h = final states, recomputed above)
+    mask = mask_ref[...].reshape(kt, 1)
+    wi, bi, wj, bj = wi_ref[:], bi_ref[:], wj_ref[:], bj_ref[:]
+    pre_cat = jnp.concatenate([h, h0], axis=-1)
+    gate = jax.nn.sigmoid(_mm(pre_cat, wi) + bi)
+    out_j = _mm(h, wj) + bj
+    dg = dg_ref[...].reshape(kt, -1)
+    dgate = dg * out_j * mask
+    dout_j = dg * gate * mask
+    dpre_i = dgate * gate * (1.0 - gate)
+    dwi_ref[...] += _mm(pre_cat.T, dpre_i)
+    dbi_ref[...] += jnp.sum(dpre_i, axis=0, keepdims=True)
+    dwj_ref[...] += _mm(h.T, dout_j)
+    dbj_ref[...] += jnp.sum(dout_j, axis=0, keepdims=True)
+    dcat = _mm(dpre_i, wi.T)            # (KT, 2H)
+    dh = dcat[:, :hidden] + _mm(dout_j, wj.T)
+    dh0_direct = dcat[:, hidden:]       # h0's direct readout term
+
+    for l in range(n_layers - 1, -1, -1):
+        h_in = h_scratch[l]
+        state = jnp.zeros_like(h_in) if l == 0 else h_scratch[l]
+        _, (m, x, z, r, n) = _layer_fwd(
+            k_tiles, h_in, state, adj, wmsg_ref[l], bmsg_ref[l], *weights
+        )
+        dz = dh * (n - state)
+        dn = dh * z
+        dstate = dh * (1.0 - z)
+        dn_pre = dn * (1.0 - n * n)
+        dz_pre = dz * z * (1.0 - z)
+        drs = _mm(dn_pre, un_ref[:].T)
+        dr = drs * state
+        dstate = dstate + drs * r
+        dr_pre = dr * r * (1.0 - r)
+        dx = (
+            _mm(dz_pre, wz_ref[:].T)
+            + _mm(dr_pre, wr_ref[:].T)
+            + _mm(dn_pre, wn_ref[:].T)
+        )
+        dh_in = dx[:, :hidden]
+        dm = dx[:, hidden:2 * hidden]
+        dstate = dstate + _mm(dz_pre, uz_ref[:].T) + _mm(dr_pre, ur_ref[:].T)
+
+        dwz_ref[...] += _mm(x.T, dz_pre)
+        dwr_ref[...] += _mm(x.T, dr_pre)
+        dwn_ref[...] += _mm(x.T, dn_pre)
+        duz_ref[...] += _mm(state.T, dz_pre)
+        dur_ref[...] += _mm(state.T, dr_pre)
+        dun_ref[...] += _mm((r * state).T, dn_pre)
+        dbz_ref[...] += jnp.sum(dz_pre, axis=0, keepdims=True)
+        dbr_ref[...] += jnp.sum(dr_pre, axis=0, keepdims=True)
+        dbn_ref[...] += jnp.sum(dn_pre, axis=0, keepdims=True)
+
+        if AGG_KBATCH:
+            dm_b = dm.reshape(k_tiles, t, hidden)
+            dhw_stack = _bmm(adj, dm_b, 1)
+            dhw_all = (
+                dhw_stack.reshape(k_tiles, NUM_EDGE_TYPE, t, hidden)
+                .transpose(0, 2, 1, 3)
+                .reshape(kt, NUM_EDGE_TYPE * hidden)
+            )
+            w_all = jnp.concatenate(
+                [wmsg_ref[l, e] for e in range(NUM_EDGE_TYPE)], axis=1
+            )
+            dw_all = _mm(h_in.T, dhw_all)
+            db_all = jnp.sum(dhw_all, axis=0, keepdims=True)
+            for e in range(NUM_EDGE_TYPE):
+                dwmsg_ref[l, e] += dw_all[:, e * hidden:(e + 1) * hidden]
+                dbmsg_ref[l, e] += db_all[:, e * hidden:(e + 1) * hidden]
+            dh_in = dh_in + _mm(dhw_all, w_all.T)
+        else:
+            dhw_stacks = [
+                _mm(adj[k].T, dm[k * t:(k + 1) * t])
+                for k in range(k_tiles)
+            ]
+            for e in range(NUM_EDGE_TYPE):
+                dhw_e = jnp.concatenate(
+                    [s[e * t:(e + 1) * t] for s in dhw_stacks], axis=0
+                )
+                dwmsg_ref[l, e] += _mm(h_in.T, dhw_e)
+                dbmsg_ref[l, e] += jnp.sum(dhw_e, axis=0, keepdims=True)
+                dh_in = dh_in + _mm(dhw_e, wmsg_ref[l, e].T)
+        dh = dh_in + (dstate if l > 0 else 0.0)
+
+    dh0_ref[...] = (dh + dh0_direct).reshape(dh0_ref.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_ggnn_readout(n_layers: int, h0, adj, msg_w, msg_b, gru,
+                       node_mask, ro_wi, ro_bi, ro_wj, ro_bj):
+    """fused_ggnn + the gated readout in the SAME kernel: returns
+    g_nodes (P, T, D) = sigmoid([h, h0] Wi + bi) ⊙ (h Wj + bj) ⊙ mask
+    (reference readout semantics, models/ggnn.py:333-341), ready for
+    the molecule segment-sum.  node_mask: (P, T) f32.  ro_wi: (2H, D),
+    ro_bi: (D,), ro_wj: (H, D), ro_bj: (D,)."""
+    out, _ = _fused_ggnn_readout_fwd(
+        n_layers, h0, adj, msg_w, msg_b, gru, node_mask,
+        ro_wi, ro_bi, ro_wj, ro_bj)
+    return out
+
+
+def _ro_specs(k, t, h, d, args):
+    base = _specs(k, t, h, args)
+    base.extend([
+        pl.BlockSpec((k, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * h, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ])
+    return base
+
+
+def _fused_ggnn_readout_fwd(n_layers, h0, adj, msg_w, msg_b, gru,
+                            node_mask, ro_wi, ro_bi, ro_wj, ro_bj,
+                            block_tiles=None):
+    p, t, h = h0.shape
+    d = ro_wj.shape[-1]
+    k = min(block_tiles or DEFAULT_BLOCK_TILES, p)
+    args = _weight_args(msg_w, msg_b, gru)
+    adjp = _prep_adj(adj, k)
+    h0p = _pad_tiles(h0, k)
+    maskp = _pad_tiles(node_mask.astype(jnp.float32), k)
+    pp = h0p.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_fwd_readout_kernel, n_layers, k),
+        out_shape=jax.ShapeDtypeStruct((pp, t, d), jnp.float32),
+        grid=(pp // k,),
+        in_specs=_ro_specs(k, t, h, d, args),
+        out_specs=pl.BlockSpec((k, t, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(h0p, adjp, *args, maskp, ro_wi, ro_bi.reshape(1, -1),
+      ro_wj, ro_bj.reshape(1, -1))
+    return out[:p], (h0, adj, msg_w, msg_b, gru, node_mask,
+                     ro_wi, ro_bi, ro_wj, ro_bj)
+
+
+def _fused_ggnn_readout_bwd(n_layers, residuals, dg, block_tiles=None):
+    (h0, adj, msg_w, msg_b, gru, node_mask,
+     ro_wi, ro_bi, ro_wj, ro_bj) = residuals
+    p, t, h = h0.shape
+    d = ro_wj.shape[-1]
+    k = min(block_tiles or DEFAULT_BWD_BLOCK_TILES, p)
+    args = _weight_args(msg_w, msg_b, gru)
+    adjp = _prep_adj(adj, k)
+    h0p = _pad_tiles(h0, k)
+    maskp = _pad_tiles(node_mask.astype(jnp.float32), k)
+    dgp = _pad_tiles(dg, k)
+    pp = h0p.shape[0]
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    msg_b4 = (msg_b.shape[0], msg_b.shape[1], 1, msg_b.shape[2])
+    out_shapes = (
+        jax.ShapeDtypeStruct((pp, t, h), jnp.float32),      # dh0
+        jax.ShapeDtypeStruct(msg_w.shape, jnp.float32),
+        jax.ShapeDtypeStruct(msg_b4, jnp.float32),
+        jax.ShapeDtypeStruct((2 * h, h), jnp.float32),
+        jax.ShapeDtypeStruct((h, h), jnp.float32),
+        jax.ShapeDtypeStruct((1, h), jnp.float32),
+        jax.ShapeDtypeStruct((2 * h, h), jnp.float32),
+        jax.ShapeDtypeStruct((h, h), jnp.float32),
+        jax.ShapeDtypeStruct((1, h), jnp.float32),
+        jax.ShapeDtypeStruct((2 * h, h), jnp.float32),
+        jax.ShapeDtypeStruct((h, h), jnp.float32),
+        jax.ShapeDtypeStruct((1, h), jnp.float32),
+        jax.ShapeDtypeStruct((2 * h, d), jnp.float32),      # dwi
+        jax.ShapeDtypeStruct((1, d), jnp.float32),          # dbi
+        jax.ShapeDtypeStruct((h, d), jnp.float32),          # dwj
+        jax.ShapeDtypeStruct((1, d), jnp.float32),          # dbj
+    )
+    out_specs = (
+        pl.BlockSpec((k, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        full(msg_w.shape), full(msg_b4),
+        full((2 * h, h)), full((h, h)), full((1, h)),
+        full((2 * h, h)), full((h, h)), full((1, h)),
+        full((2 * h, h)), full((h, h)), full((1, h)),
+        full((2 * h, d)), full((1, d)), full((h, d)), full((1, d)),
+    )
+    in_specs = _ro_specs(k, t, h, d, args)
+    in_specs.append(
+        pl.BlockSpec((k, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_readout_kernel, n_layers, k),
+        out_shape=out_shapes,
+        grid=(pp // k,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((n_layers, k * t, h), jnp.float32)],
+    )(h0p, adjp, *args, maskp, ro_wi, ro_bi.reshape(1, -1),
+      ro_wj, ro_bj.reshape(1, -1), dgp)
+    (dh0, dmsg_w, dmsg_b, dwz, duz, dbz, dwr, dur, dbr, dwn, dun, dbn,
+     dwi, dbi, dwj, dbj) = outs
+    dgru = {
+        "wz": dwz, "uz": duz, "bz": dbz.reshape(-1),
+        "wr": dwr, "ur": dur, "br": dbr.reshape(-1),
+        "wn": dwn, "un": dun, "bn": dbn.reshape(-1),
+    }
+    return (dh0[:p], None, dmsg_w, dmsg_b.reshape(msg_b.shape), dgru,
+            None, dwi, dbi.reshape(-1), dwj, dbj.reshape(-1))
+
+
+fused_ggnn_readout.defvjp(_fused_ggnn_readout_fwd, _fused_ggnn_readout_bwd)
 
 
 def split_message_kernel(w: jnp.ndarray, hidden: int) -> jnp.ndarray:

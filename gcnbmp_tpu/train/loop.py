@@ -767,7 +767,7 @@ class Trainer:
                 compute_dtype=(
                     jnp.bfloat16
                     if cfg.compute_dtype == "bfloat16"
-                    and cfg.method in ("ggnn", "relgcn", "gin")
+                    and cfg.method in ("ggnn", "relgcn", "gin", "mpnn")
                     else None
                 ),
             )

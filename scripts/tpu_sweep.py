@@ -164,27 +164,33 @@ def run_circ(name="circ"):
     emit({"config": name, "path": "circ_microbench", "batch": b, **rows})
 
 
-def run_fused(name, hidden, bwd_k=None, kbatch=None):
+def run_fused(name, hidden, bwd_k=None, kbatch=None, fused_ro=None):
+    from gcnbmp_tpu.models import packed as packed_mod
     from gcnbmp_tpu.ops import fused_ggnn
 
     bench.HIDDEN = hidden
     bench.COMPUTE_DTYPE = None
     saved = fused_ggnn.DEFAULT_BWD_BLOCK_TILES
     saved_kb = fused_ggnn.AGG_KBATCH
+    saved_ro = packed_mod.FUSED_READOUT
     if bwd_k is not None:
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = bwd_k
     if kbatch is not None:
         fused_ggnn.AGG_KBATCH = kbatch
+    if fused_ro is not None:
+        packed_mod.FUSED_READOUT = fused_ro
     device = jax.devices()[0]
     try:
         eps, dt, edges = bench.measure_fused(device, bench.ITERS)
     finally:
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = saved
         fused_ggnn.AGG_KBATCH = saved_kb
+        packed_mod.FUSED_READOUT = saved_ro
     emit({
         "config": name, "path": "fused", "hidden": hidden,
         "bwd_k": bwd_k or saved,
         "kbatch": kbatch if kbatch is not None else saved_kb,
+        "fused_readout": (fused_ro if fused_ro is not None else saved_ro),
         "dtype": "bf16" if fused_ggnn.MATMUL_BF16 else "f32",
         "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
     })
@@ -203,7 +209,8 @@ def run_coo_scan(name, hidden, dtype=None):
     })
 
 
-def run_fused_coo_scan(name, hidden, bwd_k=None, kbatch=None):
+def run_fused_coo_scan(name, hidden, bwd_k=None, kbatch=None,
+                       fused_ro=None):
     """The fused+COO+scan production config (round 3): wire-compact
     batches stacked in HBM, one lax.scan dispatch, adjacency
     scatter-built per step in the kernel's flat layout, message/GRU
@@ -224,13 +231,18 @@ def run_fused_coo_scan(name, hidden, bwd_k=None, kbatch=None):
         sigmoid_cross_entropy,
     )
 
+    from gcnbmp_tpu.models import packed as packed_mod
+
     bench.HIDDEN = hidden
     saved = fused_ggnn.DEFAULT_BWD_BLOCK_TILES
     saved_kb = fused_ggnn.AGG_KBATCH
+    saved_ro = packed_mod.FUSED_READOUT
     if bwd_k is not None:
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = bwd_k
     if kbatch is not None:
         fused_ggnn.AGG_KBATCH = kbatch
+    if fused_ro is not None:
+        packed_mod.FUSED_READOUT = fused_ro
     device = jax.devices()[0]
     try:
         ds = bench.build_dataset()
@@ -276,11 +288,13 @@ def run_fused_coo_scan(name, hidden, bwd_k=None, kbatch=None):
     finally:
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = saved
         fused_ggnn.AGG_KBATCH = saved_kb
+        packed_mod.FUSED_READOUT = saved_ro
     edges = float(np.mean([b.num_edges for b in chunks]))
     emit({
         "config": name, "path": "fused_coo_scan", "hidden": hidden,
         "bwd_k": bwd_k or saved,
         "kbatch": kbatch if kbatch is not None else saved_kb,
+        "fused_readout": (fused_ro if fused_ro is not None else saved_ro),
         "step_ms": round(dt * 1e3, 3), "edges_per_s": round(edges / dt),
     })
 
@@ -307,6 +321,25 @@ def run_mpnn_ab(name="mpnn_ab"):
     finally:
         packed_mod.EDGENET_FLAT = True
         packed_mod.EDGENET_AGGFIRST = saved_af
+
+
+def run_mpnn_bf16_ab(name="mpnn_bf16"):
+    """MPNN f32 vs bf16 compute (VERDICT r3 #7): the EdgeNet adjacency
+    contraction is the step's dominant HBM read; bf16 operands halve
+    it (exact for the 0/1 adjacency)."""
+    import jax.numpy as jnp
+
+    device = jax.devices()[0]
+    bench.HIDDEN = 32
+    for label, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
+        bench.COMPUTE_DTYPE = dtype
+        eps, dt, _ = bench.measure_packed_method(device, bench.ITERS, "mpnn")
+        emit({
+            "config": f"{name}_{label}", "path": "packed_mpnn",
+            "dtype": label, "hidden": 32,
+            "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+        })
+    bench.COMPUTE_DTYPE = None
 
 
 def run_mpnn_ab3(name="mpnn_ab3"):
@@ -394,6 +427,7 @@ CONFIGS = {
     "scan_bf16_64": lambda: run_scan("scan_bf16_64", 64, jnp.bfloat16),
     "mpnn_ab": run_mpnn_ab,
     "mpnn_ab3": run_mpnn_ab3,
+    "mpnn_bf16_ab": run_mpnn_bf16_ab,
     # round-4 fused-kernel K-batched aggregation A/B (VERDICT r3 #5)
     "fused32_kbatch": lambda: run_fused("fused32_kbatch", 32, kbatch=True),
     "fused64_kbatch": lambda: run_fused("fused64_kbatch", 64, kbatch=True),
@@ -403,6 +437,19 @@ CONFIGS = {
         "fused_coo_scan64_kbatch", 64, kbatch=True),
     "fused_coo_scan32_kbatch": lambda: run_fused_coo_scan(
         "fused_coo_scan32_kbatch", 32, kbatch=True),
+    # round-4 kernel-fused gated readout (VERDICT r3 #5b)
+    "fused32_ro": lambda: run_fused("fused32_ro", 32, fused_ro=True),
+    "fused64_ro": lambda: run_fused("fused64_ro", 64, fused_ro=True),
+    "fused32_kbatch_ro": lambda: run_fused(
+        "fused32_kbatch_ro", 32, kbatch=True, fused_ro=True),
+    "fused64_kbatch_ro": lambda: run_fused(
+        "fused64_kbatch_ro", 64, kbatch=True, fused_ro=True),
+    "fused_coo_scan32_kbatch_ro": lambda: run_fused_coo_scan(
+        "fused_coo_scan32_kbatch_ro", 32, kbatch=True, fused_ro=True),
+    "fused_coo_scan64_kbatch_ro": lambda: run_fused_coo_scan(
+        "fused_coo_scan64_kbatch_ro", 64, kbatch=True, fused_ro=True),
+    "fused_coo_scan64_ro": lambda: run_fused_coo_scan(
+        "fused_coo_scan64_ro", 64, fused_ro=True),
     "circ": run_circ,
     "infer32": lambda: run_infer("infer32", 32, None),
     "infer_bf16_32": lambda: run_infer("infer_bf16_32", 32, jnp.bfloat16),

@@ -259,3 +259,52 @@ def test_fused_gradient_parity_on_hardware():
             np.asarray(flat_fused[key]), np.asarray(v),
             rtol=2e-3, atol=2e-5, err_msg=key,
         )
+
+
+def test_fused_readout_forward_and_grad_parity():
+    """fused_ggnn_readout (the round-4 kernel-fused gated readout,
+    GCNBMP_FUSED_READOUT path) matches the XLA-epilogue fused path in
+    logits AND parameter gradients."""
+    from gcnbmp_tpu.models import packed as packed_mod
+    from gcnbmp_tpu.train.loop import sigmoid_cross_entropy
+
+    packed = _packed()
+    pred = make_packed_predictor(
+        fp_hidden_dim=32, fp_out_dim=32, conv_layers=3,
+        weight_tying=False, sim_method="hole",
+    )
+    args = (
+        jnp.asarray(packed.atom_ids), jnp.asarray(packed.adj),
+        jnp.asarray(packed.mol_id), jnp.asarray(packed.node_mask),
+        jnp.asarray(packed.left_index), jnp.asarray(packed.right_index),
+    )
+    variables = pred.init(jax.random.PRNGKey(0), *args)
+    y = jnp.asarray(packed.labels)
+
+    def loss_with(flag):
+        saved = packed_mod.FUSED_READOUT
+        packed_mod.FUSED_READOUT = flag
+        try:
+            def loss(p):
+                logits = fused_pair_logits(pred, p, *args)
+                return sigmoid_cross_entropy(
+                    jnp.reshape(logits, y.shape), y)
+
+            with pltpu.force_tpu_interpret_mode():
+                l = float(loss(variables["params"]))
+                g = jax.grad(loss)(variables["params"])
+            return l, g
+        finally:
+            packed_mod.FUSED_READOUT = saved
+
+    l_ref, g_ref = loss_with(False)
+    l_fused, g_fused = loss_with(True)
+    np.testing.assert_allclose(l_fused, l_ref, rtol=1e-5)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_fused),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(ka),
+        )
