@@ -111,6 +111,14 @@ def ring_all_reduce_s(bytes_per_device: float, n: int, bw: float) -> float:
     return 2.0 * (n - 1) / n * bytes_per_device / bw
 
 
+def ring_all_gather_s(total_bytes: float, n: int, bw: float) -> float:
+    """Ring all-gather wall time: each device receives (n-1)/n of the
+    gathered buffer at ``bw`` bytes/s (half an all-reduce)."""
+    if n <= 1:
+        return 0.0
+    return (n - 1) / n * total_bytes / bw
+
+
 @dataclass
 class CommBudget:
     batch_pairs: int
@@ -212,7 +220,10 @@ def print_comm_budget_table(param_count: int, out_dim: int = 32,
                             n_devices: int = 8, n_hosts: int = 2) -> list:
     """The dryrun_multichip tail: per-step collective volume and the
     derived scaling-efficiency bound at B=2048/8192 (VERDICT r1 #5),
-    computed from the live measured step time (VERDICT r2 weak #6)."""
+    computed from the live measured step time (VERDICT r2 weak #6).
+    Also prints the co-attention variant's extra all_gather (the
+    atom-state table completion, parallel/edgeshard.py
+    make_edgeshard_coattn_loss) as an informational line."""
     rows = []
     step_s, rec_b, source = resolve_measured_step()
     print("comm budget (edgeshard, zero-cut-edge tile sharding; "
@@ -226,4 +237,18 @@ def print_comm_budget_table(param_count: int, out_dim: int = 32,
         )
         rows.append(budget)
         print("  " + budget.row())
+        # co-attention adds one atom-state all_gather: measured pack
+        # density is ~14.6 atoms/mol at 0.98 tile occupancy (bench.py
+        # packed stats: 467 tiles at B=2048), i.e. the full (P*T, H)
+        # node table.  The efficiency quotient below reuses the
+        # FLAGSHIP step's compute, which a co-attention step exceeds —
+        # so the printed value is a conservative lower bound.
+        p_tiles = 2 * b * 14.6 / (128.0 * 0.98)
+        ag_bytes = p_tiles * 128 * out_dim * 4.0
+        ag_ici = ring_all_gather_s(ag_bytes, n_devices, ICI_BW)
+        eff = budget.compute_s / (
+            budget.compute_s + budget.collective_s_ici + ag_ici)
+        print(f"    +coattn all_gather {ag_bytes / 1e6:6.2f} MB "
+              f"-> ICI {ag_ici * 1e6:8.1f} us | eff >= {eff * 100:.2f}% "
+              "(ICI, flagship-compute lower bound)")
     return rows

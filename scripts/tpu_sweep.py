@@ -68,10 +68,34 @@ def run_scan(name, hidden, dtype, adj_bf16=False):
     emit({
         "config": name, "path": "scan", "hidden": hidden,
         "dtype": "bf16" if dtype is not None else "f32",
+        "batch": bench.BATCH,
         "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
         "mfu": round(dense / dt / bench.V5E_PEAK_FLOPS, 5),
         "mfu_useful": round(useful / dt / bench.V5E_PEAK_FLOPS, 5),
     })
+
+
+def run_scan_batch(name, hidden, dtype, batch):
+    """Batch-scaling probe (round 4): the h=32 step is launch-bound
+    (~429 kernel executions, PROFILE_r03), and the headline metric is
+    edges/s — a larger batch amortizes the fixed launch floor over
+    more edges.  Scan stages S dense batches in HBM: B=8192 x10 is
+    ~1 GB f32 adjacency, well inside v5e HBM."""
+    saved = bench.BATCH
+    bench.BATCH = batch
+    try:
+        run_scan(name, hidden, dtype)
+    finally:
+        bench.BATCH = saved
+
+
+def run_coo_scan_batch(name, hidden, dtype, batch):
+    saved = bench.BATCH
+    bench.BATCH = batch
+    try:
+        run_coo_scan(name, hidden, dtype)
+    finally:
+        bench.BATCH = saved
 
 
 def run_infer(name, hidden, dtype):
@@ -205,6 +229,7 @@ def run_coo_scan(name, hidden, dtype=None):
     emit({
         "config": name, "path": "coo_scan", "hidden": hidden,
         "dtype": "bf16" if dtype is not None else "f32",
+        "batch": bench.BATCH,
         "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
     })
 
@@ -425,6 +450,15 @@ CONFIGS = {
     "fused_coo_scan128": lambda: run_fused_coo_scan("fused_coo_scan128", 128),
     "scan64": lambda: run_scan("scan64", 64, None),
     "scan_bf16_64": lambda: run_scan("scan_bf16_64", 64, jnp.bfloat16),
+    # round-4 batch scaling (launch-floor amortization at h=32)
+    "scan_bf16_32_b4096": lambda: run_scan_batch(
+        "scan_bf16_32_b4096", 32, jnp.bfloat16, 4096),
+    "scan_bf16_32_b8192": lambda: run_scan_batch(
+        "scan_bf16_32_b8192", 32, jnp.bfloat16, 8192),
+    "coo_scan_bf16_32_b4096": lambda: run_coo_scan_batch(
+        "coo_scan_bf16_32_b4096", 32, jnp.bfloat16, 4096),
+    "coo_scan_bf16_32_b8192": lambda: run_coo_scan_batch(
+        "coo_scan_bf16_32_b8192", 32, jnp.bfloat16, 8192),
     "mpnn_ab": run_mpnn_ab,
     "mpnn_ab3": run_mpnn_ab3,
     "mpnn_bf16_ab": run_mpnn_bf16_ab,
