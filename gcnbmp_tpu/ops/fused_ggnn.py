@@ -654,7 +654,12 @@ def fused_ggnn_readout(n_layers: int, h0, adj, msg_w, msg_b, gru,
 def _ro_specs(k, t, h, d, args):
     base = _specs(k, t, h, args)
     base.extend([
-        pl.BlockSpec((k, t), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        # mask rides as (P, T, 1): a 2-D (K, T) block would break the
+        # TPU lowering's (8, 128) divisibility rule for K < 8 (the
+        # backward's K=4 blocks — caught on hardware, SWEEPS_r04
+        # fused*_ro error rows of 08:45)
+        pl.BlockSpec((k, t, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * h, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((h, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -672,7 +677,7 @@ def _fused_ggnn_readout_fwd(n_layers, h0, adj, msg_w, msg_b, gru,
     args = _weight_args(msg_w, msg_b, gru)
     adjp = _prep_adj(adj, k)
     h0p = _pad_tiles(h0, k)
-    maskp = _pad_tiles(node_mask.astype(jnp.float32), k)
+    maskp = _pad_tiles(node_mask.astype(jnp.float32), k)[..., None]
     pp = h0p.shape[0]
     out = pl.pallas_call(
         functools.partial(_fwd_readout_kernel, n_layers, k),
@@ -696,7 +701,7 @@ def _fused_ggnn_readout_bwd(n_layers, residuals, dg, block_tiles=None):
     args = _weight_args(msg_w, msg_b, gru)
     adjp = _prep_adj(adj, k)
     h0p = _pad_tiles(h0, k)
-    maskp = _pad_tiles(node_mask.astype(jnp.float32), k)
+    maskp = _pad_tiles(node_mask.astype(jnp.float32), k)[..., None]
     dgp = _pad_tiles(dg, k)
     pp = h0p.shape[0]
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
