@@ -367,6 +367,74 @@ def run_mpnn_bf16_ab(name="mpnn_bf16"):
     bench.COMPUTE_DTYPE = None
 
 
+def run_mpnn_parts(name="mpnn_parts"):
+    """MPNN cost attribution 2x2 (VERDICT r3 #7): message
+    {edgenet, ggnn} x readout {set2set, ggnn} on the dense packed
+    layout.  GGNN's own step is ~7 ms with the same GRU/readout
+    machinery, so whichever axis carries the 33 ms MPNN step shows up
+    directly."""
+    import numpy as np
+    import optax
+
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models.heads import HEADS
+    from gcnbmp_tpu.models.packed import PackedMPNN, PackedPairPredictor
+    from gcnbmp_tpu.train.loop import sigmoid_cross_entropy
+
+    device = jax.devices()[0]
+    bench.HIDDEN = 32
+    ds = bench.build_dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(bench.BATCH)))
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    args = (
+        put(packed.atom_ids), put(packed.adj), put(packed.mol_id),
+        put(packed.node_mask), put(packed.left_index),
+        put(packed.right_index),
+    )
+    y = put(packed.labels)
+    for msg in ("edgenet", "ggnn"):
+        for ro in ("set2set", "ggnn"):
+            predictor = PackedPairPredictor(
+                encoder=PackedMPNN(
+                    out_dim=32, hidden_dim=32, n_layers=bench.LAYERS,
+                    weight_tying=True, message_func=msg, readout_func=ro,
+                    name="encoder"),
+                head=HEADS["hole"](out_dim=1, hidden_dims=(), name="head"),
+            )
+            optimizer = optax.adam(1e-3)
+            params = jax.device_put(
+                predictor.init(jax.random.PRNGKey(0), *args)["params"],
+                device)
+            opt_state = jax.device_put(optimizer.init(params), device)
+
+            def loss_fn(p):
+                logits = predictor.apply({"params": p}, *args)
+                return sigmoid_cross_entropy(
+                    jnp.reshape(logits, y.shape), y)
+
+            @jax.jit
+            def step(p, s):
+                l, grads = jax.value_and_grad(loss_fn)(p)
+                updates, s = optimizer.update(grads, s, p)
+                return optax.apply_updates(p, updates), s, l
+
+            for _ in range(bench.WARMUP):
+                params, opt_state, loss = step(params, opt_state)
+            float(loss)
+            t0 = time.time()
+            for _ in range(bench.ITERS):
+                params, opt_state, loss = step(params, opt_state)
+            assert float(loss) == float(loss)
+            dt = (time.time() - t0) / bench.ITERS
+            emit({
+                "config": f"{name}_{msg}_{ro}", "path": "packed_mpnn",
+                "message": msg, "readout": ro, "hidden": 32,
+                "layers": bench.LAYERS,
+                "step_ms": round(dt * 1e3, 3),
+                "edges_per_s": round(float(packed.num_edges) / dt),
+            })
+
+
 def run_mpnn_ab3(name="mpnn_ab3"):
     """Round-4 EdgeNet A/B (VERDICT r3 #7): r3 'flat' single
     contraction (per-layer hm materialization + adjacency transposes)
@@ -462,6 +530,7 @@ CONFIGS = {
     "mpnn_ab": run_mpnn_ab,
     "mpnn_ab3": run_mpnn_ab3,
     "mpnn_bf16_ab": run_mpnn_bf16_ab,
+    "mpnn_parts": run_mpnn_parts,
     # round-4 fused-kernel K-batched aggregation A/B (VERDICT r3 #5)
     "fused32_kbatch": lambda: run_fused("fused32_kbatch", 32, kbatch=True),
     "fused64_kbatch": lambda: run_fused("fused64_kbatch", 64, kbatch=True),
