@@ -147,6 +147,64 @@ def run_infer(name, hidden, dtype):
     })
 
 
+def run_infer_fused(name, hidden, fused_ro=True):
+    """Forward-only (serving) throughput through the fused Pallas
+    kernel — with the kernel-fused gated readout when ``fused_ro``
+    (the readout-fused FORWARD lowers fine at production shapes; the
+    backward is compiler-limited, SWEEPS_r04)."""
+    import numpy as np
+
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models import packed as packed_mod
+    from gcnbmp_tpu.models.packed import (
+        fused_pair_logits,
+        make_packed_predictor,
+    )
+
+    bench.HIDDEN = hidden
+    device = jax.devices()[0]
+    ds = bench.build_dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(bench.BATCH)))
+    predictor = make_packed_predictor(
+        fp_hidden_dim=hidden, fp_out_dim=hidden, conv_layers=bench.LAYERS,
+        weight_tying=False, sim_method="hole",
+    )
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    args = (
+        put(packed.atom_ids), put(packed.adj.astype(jnp.bfloat16)),
+        put(packed.mol_id), put(packed.node_mask),
+        put(packed.left_index), put(packed.right_index),
+    )
+    params = jax.device_put(
+        predictor.init(jax.random.PRNGKey(0), put(packed.atom_ids),
+                       put(packed.adj), *args[2:])["params"], device)
+    saved_ro = packed_mod.FUSED_READOUT
+    packed_mod.FUSED_READOUT = fused_ro
+    try:
+        @jax.jit
+        def fwd(p, noise):
+            p2 = jax.tree.map(lambda x: x * (1.0 + noise), p)
+            return fused_pair_logits(predictor, p2, *args)
+
+        out = fwd(params, jnp.float32(0.0))
+        float(jnp.sum(out))
+        t0 = time.perf_counter()
+        n = 50
+        for i in range(n):
+            out = fwd(params, jnp.float32(i * 1e-9))
+        float(jnp.sum(out))
+        dt = (time.perf_counter() - t0) / n
+    finally:
+        packed_mod.FUSED_READOUT = saved_ro
+    edges = float(packed.num_edges)
+    emit({
+        "config": name, "path": "infer_fused", "hidden": hidden,
+        "fused_readout": fused_ro,
+        "step_ms": round(dt * 1e3, 3), "edges_per_s": round(edges / dt),
+        "pairs_per_s": round(bench.BATCH / dt),
+    })
+
+
 def run_circ(name="circ"):
     """Micro-bench of the two circular-correlation forms (VERDICT r1 #7):
     fwd+bwd at B=2048 over D in {16,32,64,128}."""
@@ -556,6 +614,9 @@ CONFIGS = {
     "circ": run_circ,
     "infer32": lambda: run_infer("infer32", 32, None),
     "infer_bf16_32": lambda: run_infer("infer_bf16_32", 32, jnp.bfloat16),
+    "infer_fused32_ro": lambda: run_infer_fused("infer_fused32_ro", 32,
+                                                True),
+    "infer_fused32": lambda: run_infer_fused("infer_fused32", 32, False),
 }
 
 DEFAULT = ["packed32", "bf16_32", "packed64", "bf16_64", "packed128",
