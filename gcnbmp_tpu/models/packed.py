@@ -235,6 +235,11 @@ class PackedNFPReadout(nn.Module):
         return i * node_mask[..., None]
 
 
+# Dense Set2Set (round 4): see PackedSet2Set.dense_n_max.  Default ON
+# (A/B via GCNBMP_SET2SET_DENSE=0); parity + training tests cover both.
+SET2SET_DENSE = os.environ.get("GCNBMP_SET2SET_DENSE", "1") == "1"
+
+
 def segment_softmax(scores, ids, valid, num_segments: int):
     """Numerically-stable softmax over segments: the packed twin of a
     per-molecule masked softmax.  scores (N, K), ids (N,), valid (N,);
@@ -254,6 +259,16 @@ class PackedSet2Set(nn.Module):
 
     channels: int
     processing_steps: int = 3
+    # dense mode (round 4, VERDICT r3 #7): the segment-op form costs
+    # +17.3 ms/step at B=2048 (SWEEPS_r04 mpnn_parts — per-step
+    # q-gathers whose backwards are scatter-adds, plus 3 segment ops
+    # per processing step).  Dense mode gathers each molecule's atoms
+    # ONCE into a (num_mols, n_max, ch) table via an on-device
+    # sort-built slot table, then every processing step is dense masked
+    # softmax + two small einsums — zero segment ops in the loop.
+    # Identical math; parity tested.  n_max must bound the largest
+    # molecule (Trainer configs stay <= 64 atoms by construction).
+    dense_n_max: int = 64
 
     @nn.compact
     def __call__(self, h, mol_id, node_mask, num_mols: int):
@@ -265,6 +280,20 @@ class PackedSet2Set(nn.Module):
         carry = cell.initialize_carry(jax.random.PRNGKey(0), (num_mols, 2 * ch))
         carry = jax.tree.map(jnp.zeros_like, carry)
         q_star = jnp.zeros((num_mols, 2 * ch), h.dtype)
+        if SET2SET_DENSE:
+            slots, amask = _device_slot_table(
+                ids, valid, num_mols, self.dense_n_max)
+            atoms = jnp.take(flat, slots.reshape(-1), axis=0).reshape(
+                num_mols, self.dense_n_max, ch) * amask[..., None]
+            neg = jnp.asarray(-1e9, flat.dtype)
+            for _ in range(self.processing_steps):
+                carry, q = cell(carry, q_star)       # (M, ch)
+                e = jnp.einsum("mnc,mc->mn", atoms, q)
+                e = jnp.where(amask > 0, e, neg)
+                a = jax.nn.softmax(e, axis=1) * amask
+                r = jnp.einsum("mn,mnc->mc", a, atoms)
+                q_star = jnp.concatenate([q, r], axis=-1)
+            return q_star
         for _ in range(self.processing_steps):
             carry, q = cell(carry, q_star)  # (num_mols, ch)
             # energies: <h_n, q_{mol(n)}>; padding slots (ids == num_mols)
@@ -277,6 +306,29 @@ class PackedSet2Set(nn.Module):
             )[:num_mols]
             q_star = jnp.concatenate([q, r], axis=-1)
         return q_star  # (num_mols, 2*ch)
+
+
+def _device_slot_table(ids, valid, num_mols: int, n_max: int):
+    """On-device molecule slot table: for each molecule, the flat node
+    indices of its atoms — (num_mols, n_max) int32 + (num_mols, n_max)
+    f32 mask — the jit twin of data/packing.molecule_slot_table.
+
+    Exploits the packed-layout invariant that each molecule's atoms
+    occupy a CONTIGUOUS flat index run (both packers bin whole
+    molecules into tiles; tile padding follows the last molecule), so
+    the table is start + arange — two segment ops, no sort.  Empty
+    molecules (pair padding) get start = int-max, clipped, with an
+    all-zero mask."""
+    n = ids.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    starts = jax.ops.segment_min(
+        pos, ids, num_segments=num_mols + 1)[:num_mols]
+    counts = jax.ops.segment_sum(
+        valid, ids, num_segments=num_mols + 1)[:num_mols]
+    j = jnp.arange(n_max, dtype=jnp.int32)[None, :]
+    slots = jnp.clip(starts[:, None] + j, 0, n - 1)
+    amask = (j < counts[:, None]).astype(jnp.float32)
+    return slots, amask
 
 
 class PackedMPNNReadout(nn.Module):
@@ -344,7 +396,7 @@ class PackedEdgeNet(nn.Module):
 
     @nn.compact
     def __call__(self, h, adj, mol_id, node_mask, num_mols: int,
-                 adj_cat=None):
+                 adj_cat=None, both=None):
         from gcnbmp_tpu.models.layers import LecunNormal
 
         p, t, ch = h.shape
@@ -403,19 +455,34 @@ class PackedEdgeNet(nn.Module):
         # and its transpose — become ONE batched (2T, 4T) x (4T, ch)
         # matmul per layer by flattening (edge type, neighbor) into a
         # length-4T contraction and stacking the out-/in-direction rows,
-        # instead of 8 separate (T, T) x (T, ch) passes.
-        adj_out = jnp.transpose(adj, (0, 2, 1, 3)).reshape(p, t, 4 * t)
-        adj_in = jnp.transpose(adj, (0, 3, 1, 2)).reshape(p, t, 4 * t)
-        both = jnp.concatenate([adj_out, adj_in], axis=1)  # (P, 2T, 4T)
+        # instead of 8 separate (T, T) x (T, ch) passes.  ``both`` is
+        # the step's dominant HBM tensor (P, 2T, 4T — 2x the adjacency)
+        # and is hoisted out of the layer loop by PackedMPNN (built +
+        # cast ONCE, re-read per layer).
+        if both is None:
+            both = build_edgenet_both(adj, cd)
         hm_flat = hm.reshape(p, 4 * t, ch)
         msgs = jax.lax.dot_general(
-            cast(both), cast(hm_flat),
+            both, cast(hm_flat),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (P, 2T, ch)
         return jnp.concatenate(
             [msgs[:, :t] + bg_nodes, msgs[:, t:] + bg_nodes], axis=-1
         )
+
+
+def build_edgenet_both(adj, compute_dtype=None):
+    """The flat EdgeNet's (P, 2T, 4T) stacked out/in-direction
+    adjacency, built (and cast — bf16 is exact for the 0/1 adjacency
+    and halves its HBM re-read) ONCE per forward."""
+    p, e, t, _ = adj.shape
+    adj_out = jnp.transpose(adj, (0, 2, 1, 3)).reshape(p, t, e * t)
+    adj_in = jnp.transpose(adj, (0, 3, 1, 2)).reshape(p, t, e * t)
+    both = jnp.concatenate([adj_out, adj_in], axis=1)
+    if compute_dtype is not None:
+        both = both.astype(compute_dtype)
+    return both
 
 
 def build_edgenet_adj_cat(adj):
@@ -473,18 +540,25 @@ class PackedMPNN(nn.Module):
             for i in range(n_message)
         ]
         gru_states = [jnp.zeros_like(h) for _ in range(n_message)]
-        # aggregate-first EdgeNet: build the stacked (P, 8T, T)
-        # adjacency ONCE per forward (the in-direction transpose was a
-        # per-layer cost in the r2/r3 forms)
+        # EdgeNet adjacency layouts are loop-invariant — build ONCE per
+        # forward: the aggregate-first (P, 8T, T) stack, or the flat
+        # form's (P, 2T, 4T) ``both`` (the step's dominant HBM tensor;
+        # cast bf16 here when compute_dtype asks — exact for 0/1 —
+        # halving its per-layer re-read)
         adj_cat = (
             build_edgenet_adj_cat(adj)
             if self.message_func == "edgenet" and EDGENET_AGGFIRST else None
+        )
+        both = (
+            build_edgenet_both(adj, self.compute_dtype)
+            if self.message_func == "edgenet" and not EDGENET_AGGFIRST
+            and EDGENET_FLAT else None
         )
         for step in range(self.n_layers):
             k = 0 if self.weight_tying else step
             if self.message_func == "edgenet":
                 x = msgs[k](h, adj, mol_id, node_mask, num_mols,
-                            adj_cat=adj_cat)
+                            adj_cat=adj_cat, both=both)
             else:
                 m = msgs[k](h, adj)
                 x = jnp.concatenate([h, m], axis=-1)

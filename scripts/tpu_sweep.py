@@ -493,6 +493,29 @@ def run_mpnn_parts(name="mpnn_parts"):
             })
 
 
+def run_mpnn_s2s_ab(name="mpnn_s2s"):
+    """Set2Set segment-op vs dense-mode A/B on the full PackedMPNN step
+    (round 4: the mpnn_parts 2x2 attributed +17.3 ms of the 33 ms step
+    to Set2Set's per-step segment ops/gathers)."""
+    from gcnbmp_tpu.models import packed as packed_mod
+
+    device = jax.devices()[0]
+    bench.HIDDEN = 32
+    saved = packed_mod.SET2SET_DENSE
+    try:
+        for label, dense in (("segment", False), ("dense", True)):
+            packed_mod.SET2SET_DENSE = dense
+            eps, dt, _ = bench.measure_packed_method(device, bench.ITERS,
+                                                     "mpnn")
+            emit({
+                "config": f"{name}_{label}", "path": "packed_mpnn",
+                "set2set": label, "hidden": 32,
+                "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+            })
+    finally:
+        packed_mod.SET2SET_DENSE = saved
+
+
 def run_mpnn_ab3(name="mpnn_ab3"):
     """Round-4 EdgeNet A/B (VERDICT r3 #7): r3 'flat' single
     contraction (per-layer hm materialization + adjacency transposes)
@@ -589,6 +612,7 @@ CONFIGS = {
     "mpnn_ab3": run_mpnn_ab3,
     "mpnn_bf16_ab": run_mpnn_bf16_ab,
     "mpnn_parts": run_mpnn_parts,
+    "mpnn_s2s_ab": run_mpnn_s2s_ab,
     # round-4 fused-kernel K-batched aggregation A/B (VERDICT r3 #5)
     "fused32_kbatch": lambda: run_fused("fused32_kbatch", 32, kbatch=True),
     "fused64_kbatch": lambda: run_fused("fused64_kbatch", 64, kbatch=True),

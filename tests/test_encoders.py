@@ -199,3 +199,52 @@ def test_nfp_readout_accumulates():
     # (#real atoms) over channels, so total g sums to n_layers * n_atoms
     sums = np.asarray(g).sum(axis=1)
     np.testing.assert_allclose(sums, 3 * batch.mask1.sum(axis=1), rtol=1e-4)
+
+
+def test_set2set_dense_matches_segment():
+    """PackedSet2Set dense mode (round 4: slot-table gather + dense
+    masked softmax, zero segment ops in the loop) reproduces the
+    segment-op form's outputs and gradients from identical weights."""
+    import numpy as np
+    from gcnbmp_tpu.chem import GGNNFeaturizer, mol_from_smiles
+    from gcnbmp_tpu.data.dataset import PairDataset
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models import packed as packed_mod
+    from gcnbmp_tpu.models.packed import PackedSet2Set
+
+    rng = np.random.default_rng(0)
+    f = GGNNFeaturizer()
+    ds = PairDataset()
+    smis = ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "C=O",
+            "Cn1cnc2c1c(=O)n(C)c(=O)n2C"]
+    for _ in range(6):
+        ds.append(f(mol_from_smiles(smis[int(rng.integers(5))])),
+                  f(mol_from_smiles(smis[int(rng.integers(5))])),
+                  np.float32(rng.integers(0, 2)))
+    packed = pack_pair_dataset_batch(ds, list(range(6)))
+    num_mols = 12
+    h = jnp.asarray(rng.normal(size=packed.atom_ids.shape + (16,))
+                    .astype(np.float32))
+    h = h * jnp.asarray(packed.node_mask)[..., None]
+    mol_id = jnp.asarray(packed.mol_id)
+    mask = jnp.asarray(packed.node_mask)
+    mod = PackedSet2Set(16, 3, name="s2s")
+    variables = mod.init(jax.random.PRNGKey(0), h, mol_id, mask, num_mols)
+
+    def run(flag, hh):
+        saved = packed_mod.SET2SET_DENSE
+        packed_mod.SET2SET_DENSE = flag
+        try:
+            return mod.apply(variables, hh, mol_id, mask, num_mols)
+        finally:
+            packed_mod.SET2SET_DENSE = saved
+
+    out_seg = run(False, h)
+    out_dense = run(True, h)
+    np.testing.assert_allclose(np.asarray(out_dense), np.asarray(out_seg),
+                               rtol=1e-5, atol=1e-6)
+
+    g_seg = jax.grad(lambda hh: jnp.sum(run(False, hh) ** 2))(h)
+    g_dense = jax.grad(lambda hh: jnp.sum(run(True, hh) ** 2))(h)
+    np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_seg),
+                               rtol=1e-4, atol=1e-6)
