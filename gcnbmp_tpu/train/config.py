@@ -159,4 +159,25 @@ PRESETS = {
         method="ggnn", sim_method="hole", class_num=37, conv_layers=8,
         fp_hidden_dim=32, fp_out_dim=32, layer_aggregator="concat",
     ),
+    # 6. the x86 long-tail regime, with the measured-best loss (round
+    # 4: focal alpha=0.75 lifts tail F1 0.605 -> 0.744 and recall
+    # 0.516 -> 0.731 over plain CE at equal ranking quality —
+    # docs/QUALITY.md)
+    "ggnn_multilabel_x86": TrainConfig(
+        method="ggnn", sim_method="hole", class_num=86, conv_layers=8,
+        fp_hidden_dim=32, fp_out_dim=32, weight_tying=False,
+        compute_path="coo", compute_dtype="bfloat16", scan_steps=10,
+        batch_size=512, learning_rate=2e-3, lr_shift_strategy=3,
+        loss="focal", focal_alpha=0.75, epochs=120,
+        early_stop_patience=25,
+    ),
+    # 7. the sustained-throughput production recipe (round 4: bf16 +
+    # scan + reuse-packs runs at 0.988 of the device step rate with
+    # quality parity — docs/DESIGN.md §5, QUALITY.md)
+    "ggnn_hole_production": TrainConfig(
+        method="ggnn", sim_method="hole", conv_layers=8, fp_hidden_dim=32,
+        fp_out_dim=32, weight_tying=False, compute_path="coo",
+        compute_dtype="bfloat16", scan_steps=10, reuse_packs=True,
+        batch_size=2048, learning_rate=2e-3, augment=True,
+    ),
 }

@@ -682,6 +682,13 @@ class Trainer:
 
             self.supernode_fn = default_supernode_fn()
         self.steps_per_epoch = max(1, len(self.train_ds) // config.batch_size)
+        if config.scan_steps > 1 and config.scan_steps > self.steps_per_epoch:
+            raise ValueError(
+                f"scan_steps={config.scan_steps} exceeds the "
+                f"{self.steps_per_epoch} batches per epoch "
+                f"(dataset {len(self.train_ds)} pairs / batch_size "
+                f"{config.batch_size}) — every epoch would train zero "
+                "steps; lower scan_steps or batch_size")
         self.optimizer, self.schedule = build_optimizer(config, self.steps_per_epoch)
         # fixed pad size for the whole run -> one jit shape (remote TPU
         # compiles are expensive; see data/dataset.py fill_batch_to)

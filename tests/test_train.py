@@ -221,6 +221,10 @@ def test_all_presets_train_one_epoch(tmp_path):
             conv_layers=2, class_num=1, out_dir=str(tmp_path / name),
             snapshot_interval=100, early_stop_patience=100,
             plot_reports=False, eval_train=False, augment=False,
+            # the production/x86 presets scan 10 steps per dispatch —
+            # more than this toy epoch has batches (the Trainer
+            # rejects that, by design)
+            scan_steps=min(preset.scan_steps, 2),
         )
         result = Trainer(cfg, ds, None).fit()
         assert np.isfinite(result["log"][-1]["main/loss"]), name
