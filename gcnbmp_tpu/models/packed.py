@@ -339,12 +339,14 @@ class PackedMPNNReadout(nn.Module):
     out_dim: int
     hidden_dim: int
     processing_steps: int = 3
+    s2s_n_max: int = 64  # dense-mode atom-table width (PackedSet2Set)
 
     @nn.compact
     def __call__(self, h, mol_id, node_mask, num_mols: int):
         from gcnbmp_tpu.models.layers import LecunNormal
 
         g = PackedSet2Set(self.hidden_dim, self.processing_steps,
+                          dense_n_max=self.s2s_n_max,
                           name="set2set")(h, mol_id, node_mask, num_mols)
         g = nn.relu(nn.Dense(self.hidden_dim, kernel_init=LecunNormal(),
                              name="linear1")(g))
@@ -515,6 +517,10 @@ class PackedMPNN(nn.Module):
     # contraction is the step's dominant HBM read and bf16 is exact for
     # the 0/1 adjacency (round 4, VERDICT r3 #7)
     compute_dtype: Any = None
+    # dense-Set2Set atom-table width: must bound the largest molecule
+    # (the Trainer passes the dataset's measured max, lane-rounded; 64
+    # covers every drug in the synthetic sets)
+    s2s_n_max: int = 64
 
     @nn.compact
     def __call__(self, atom_ids, adj, mol_id, node_mask, num_mols: int):
@@ -571,6 +577,7 @@ class PackedMPNN(nn.Module):
             g = _segment_mol_sum(g_nodes, mol_id, num_mols)
         else:
             g = PackedMPNNReadout(self.out_dim, self.hidden_dim,
+                                  s2s_n_max=self.s2s_n_max,
                                   name="readout_0")(h, mol_id, node_mask,
                                                     num_mols)
         return g, {"atoms": h, "h0": h0}
@@ -971,6 +978,7 @@ def make_packed_predictor(
     method: str = "ggnn",
     compute_dtype=None,
     layer_aggregator: "str | None" = None,
+    s2s_n_max: int = 64,
 ) -> PackedPairPredictor:
     from gcnbmp_tpu.models.heads import HEADS
 
@@ -1038,7 +1046,7 @@ def make_packed_predictor(
         encoder = PackedMPNN(
             out_dim=fp_out_dim, hidden_dim=fp_hidden_dim, n_layers=conv_layers,
             weight_tying=weight_tying, compute_dtype=compute_dtype,
-            name="encoder",
+            s2s_n_max=s2s_n_max, name="encoder",
         )
     else:
         raise ValueError(

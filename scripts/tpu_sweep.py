@@ -493,6 +493,68 @@ def run_mpnn_parts(name="mpnn_parts"):
             })
 
 
+def run_mpnn_nmax_ab(name="mpnn_nmax"):
+    """Dense-Set2Set atom-table width sensitivity: n_max=64 (safe
+    default) gathers ~4.3x more rows than real atoms exist (avg ~15
+    atoms/mol); n_max=32 (sufficient for the bench drugs, max 24
+    atoms) halves the gather+scatter volume."""
+    import optax
+
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models.heads import HEADS
+    from gcnbmp_tpu.models.packed import PackedMPNN, PackedPairPredictor
+    from gcnbmp_tpu.train.loop import sigmoid_cross_entropy
+
+    device = jax.devices()[0]
+    bench.HIDDEN = 32
+    ds = bench.build_dataset()
+    packed = pack_pair_dataset_batch(ds, list(range(bench.BATCH)))
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    args = (
+        put(packed.atom_ids), put(packed.adj), put(packed.mol_id),
+        put(packed.node_mask), put(packed.left_index),
+        put(packed.right_index),
+    )
+    y = put(packed.labels)
+    for n_max in (64, 32):
+        predictor = PackedPairPredictor(
+            encoder=PackedMPNN(
+                out_dim=32, hidden_dim=32, n_layers=bench.LAYERS,
+                weight_tying=True, s2s_n_max=n_max,
+                compute_dtype=jnp.bfloat16, name="encoder"),
+            head=HEADS["hole"](out_dim=1, hidden_dims=(), name="head"),
+        )
+        optimizer = optax.adam(1e-3)
+        params = jax.device_put(
+            predictor.init(jax.random.PRNGKey(0), *args)["params"], device)
+        opt_state = jax.device_put(optimizer.init(params), device)
+
+        def loss_fn(p):
+            logits = predictor.apply({"params": p}, *args)
+            return sigmoid_cross_entropy(jnp.reshape(logits, y.shape), y)
+
+        @jax.jit
+        def step(p, s):
+            l, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = optimizer.update(grads, s, p)
+            return optax.apply_updates(p, updates), s, l
+
+        for _ in range(bench.WARMUP):
+            params, opt_state, loss = step(params, opt_state)
+        float(loss)
+        t0 = time.time()
+        for _ in range(bench.ITERS):
+            params, opt_state, loss = step(params, opt_state)
+        assert float(loss) == float(loss)
+        dt = (time.time() - t0) / bench.ITERS
+        emit({
+            "config": f"{name}_{n_max}", "path": "packed_mpnn",
+            "s2s_n_max": n_max, "hidden": 32, "dtype": "bf16",
+            "step_ms": round(dt * 1e3, 3),
+            "edges_per_s": round(float(packed.num_edges) / dt),
+        })
+
+
 def run_mpnn_s2s_ab(name="mpnn_s2s"):
     """Set2Set segment-op vs dense-mode A/B on the full PackedMPNN step
     (round 4: the mpnn_parts 2x2 attributed +17.3 ms of the 33 ms step
@@ -613,6 +675,7 @@ CONFIGS = {
     "mpnn_bf16_ab": run_mpnn_bf16_ab,
     "mpnn_parts": run_mpnn_parts,
     "mpnn_s2s_ab": run_mpnn_s2s_ab,
+    "mpnn_nmax_ab": run_mpnn_nmax_ab,
     # round-4 fused-kernel K-batched aggregation A/B (VERDICT r3 #5)
     "fused32_kbatch": lambda: run_fused("fused32_kbatch", 32, kbatch=True),
     "fused64_kbatch": lambda: run_fused("fused64_kbatch", 64, kbatch=True),
