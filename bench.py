@@ -297,12 +297,12 @@ def measure_packed_method(device, iters, method):
     # MPNN dense-Set2Set table width: the dataset's largest molecule,
     # lane-rounded (what the Trainer wires; 64-default would gather
     # ~4.3x more rows than real atoms exist — measured 23.4 vs 19.9 ms)
-    n_atoms = max(max(g.num_atoms for g in ds.graphs1),
-                  max(g.num_atoms for g in ds.graphs2))
+    from gcnbmp_tpu.data.packing import max_atoms_lane_rounded
+
     predictor = make_packed_predictor(
         fp_hidden_dim=HIDDEN, fp_out_dim=HIDDEN, conv_layers=LAYERS,
         weight_tying=False, sim_method="hole", method=method,
-        s2s_n_max=((n_atoms + 7) // 8) * 8,
+        s2s_n_max=max_atoms_lane_rounded([ds]),
         # compute_dtype is plumbed for ggnn/relgcn/gin/mpnn; nfp runs
         # f32 regardless (make_packed_predictor would raise)
         compute_dtype=(COMPUTE_DTYPE

@@ -197,6 +197,20 @@ def estimate_tiles(sizes: Sequence[int], tile: int = TILE, slack: float = 1.1) -
     return int(np.ceil(slack * total / tile)) + 1
 
 
+def max_atoms_lane_rounded(datasets, round_to: int = 8) -> int:
+    """The largest molecule across ``datasets`` (graphs1+graphs2),
+    rounded up to a lane-friendly multiple — the single source for the
+    co-attention slot-table width and the dense-Set2Set atom-table
+    width (round-4 review finding: three hand-rolled copies)."""
+    m = 0
+    for ds in datasets:
+        if len(ds) == 0:
+            continue
+        m = max(m, max(g.num_atoms for g in ds.graphs1))
+        m = max(m, max(g.num_atoms for g in ds.graphs2))
+    return ((max(m, 1) + round_to - 1) // round_to) * round_to
+
+
 def estimate_coo_capacities(datasets, batch_size: int, tile: int = TILE):
     """Static (num_tiles, edge_capacity) bounds covering every
     ``batch_size``-pair batch drawn from any of ``datasets`` — shuffled

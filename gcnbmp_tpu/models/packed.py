@@ -281,7 +281,7 @@ class PackedSet2Set(nn.Module):
         carry = jax.tree.map(jnp.zeros_like, carry)
         q_star = jnp.zeros((num_mols, 2 * ch), h.dtype)
         if SET2SET_DENSE:
-            slots, amask = _device_slot_table(
+            slots, amask, overflow = _device_slot_table(
                 ids, valid, num_mols, self.dense_n_max)
             atoms = jnp.take(flat, slots.reshape(-1), axis=0).reshape(
                 num_mols, self.dense_n_max, ch) * amask[..., None]
@@ -293,6 +293,14 @@ class PackedSet2Set(nn.Module):
                 a = jax.nn.softmax(e, axis=1) * amask
                 r = jnp.einsum("mn,mnc->mc", a, atoms)
                 q_star = jnp.concatenate([q, r], axis=-1)
+            # a molecule larger than dense_n_max would be silently
+            # truncated (the numpy twin molecule_slot_table RAISES);
+            # inside jit the loudest available failure is poisoning the
+            # output — the first loss/metric turns NaN instead of the
+            # model silently training on clipped molecules (round-4
+            # review finding).  The Trainer sizes dense_n_max from the
+            # dataset, so this never fires in normal flows.
+            q_star = jnp.where(overflow, jnp.nan, q_star)
             return q_star
         for _ in range(self.processing_steps):
             carry, q = cell(carry, q_star)  # (num_mols, ch)
@@ -318,7 +326,8 @@ def _device_slot_table(ids, valid, num_mols: int, n_max: int):
     molecules into tiles; tile padding follows the last molecule), so
     the table is start + arange — two segment ops, no sort.  Empty
     molecules (pair padding) get start = int-max, clipped, with an
-    all-zero mask."""
+    all-zero mask.  Also returns a scalar ``overflow`` flag (any
+    molecule larger than n_max) for the caller to fail loudly on."""
     n = ids.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     starts = jax.ops.segment_min(
@@ -328,7 +337,8 @@ def _device_slot_table(ids, valid, num_mols: int, n_max: int):
     j = jnp.arange(n_max, dtype=jnp.int32)[None, :]
     slots = jnp.clip(starts[:, None] + j, 0, n - 1)
     amask = (j < counts[:, None]).astype(jnp.float32)
-    return slots, amask
+    overflow = jnp.any(counts > n_max)
+    return slots, amask, overflow
 
 
 class PackedMPNNReadout(nn.Module):

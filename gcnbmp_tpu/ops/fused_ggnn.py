@@ -240,6 +240,29 @@ def _bwd_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref, bmsg_ref,
         state = h
 
     dh = dh_final_ref[...].reshape(kt, hidden)
+    dh = _reverse_layers(
+        n_layers, k_tiles, dh, h_scratch, adj, weights,
+        wmsg_ref, bmsg_ref, dwmsg_ref, dbmsg_ref,
+        dwz_ref, duz_ref, dbz_ref, dwr_ref, dur_ref, dbr_ref,
+        dwn_ref, dun_ref, dbn_ref,
+    )
+    dh0_ref[...] = dh.reshape(dh0_ref.shape)
+
+
+def _reverse_layers(n_layers, k_tiles, dh, h_scratch, adj, weights,
+                    wmsg_ref, bmsg_ref, dwmsg_ref, dbmsg_ref,
+                    dwz_ref, duz_ref, dbz_ref, dwr_ref, dur_ref, dbr_ref,
+                    dwn_ref, dun_ref, dbn_ref):
+    """The shared reverse pass over all layers (recompute + grads),
+    used by BOTH backward kernels (_bwd_kernel seeds dh from dh_final;
+    _bwd_readout_kernel seeds it from the readout backward).  ``dh``
+    in, final dh (the h0 gradient through the layer stack) out;
+    weight/bias grads accumulate into the d*_ref outputs."""
+    (wz_ref, uz_ref, bz_ref, wr_ref, ur_ref, br_ref,
+     wn_ref, un_ref, bn_ref) = weights
+    t = TILE
+    kt = k_tiles * t
+    hidden = dh.shape[-1]
     for l in range(n_layers - 1, -1, -1):
         h_in = h_scratch[l]
         state = jnp.zeros_like(h_in) if l == 0 else h_scratch[l]
@@ -325,8 +348,7 @@ def _bwd_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref, bmsg_ref,
                 dh_in = dh_in + _mm(dhw_e, wmsg_ref[l, e].T)
         # for l >= 1, state IS this layer's input tensor
         dh = dh_in + (dstate if l > 0 else 0.0)
-
-    dh0_ref[...] = dh.reshape(dh0_ref.shape)
+    return dh
 
 
 def _weight_args(msg_w, msg_b, gru):
@@ -569,71 +591,12 @@ def _bwd_readout_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref,
     dh = dcat[:, :hidden] + _mm(dout_j, wj.T)
     dh0_direct = dcat[:, hidden:]       # h0's direct readout term
 
-    for l in range(n_layers - 1, -1, -1):
-        h_in = h_scratch[l]
-        state = jnp.zeros_like(h_in) if l == 0 else h_scratch[l]
-        _, (m, x, z, r, n) = _layer_fwd(
-            k_tiles, h_in, state, adj, wmsg_ref[l], bmsg_ref[l], *weights
-        )
-        dz = dh * (n - state)
-        dn = dh * z
-        dstate = dh * (1.0 - z)
-        dn_pre = dn * (1.0 - n * n)
-        dz_pre = dz * z * (1.0 - z)
-        drs = _mm(dn_pre, un_ref[:].T)
-        dr = drs * state
-        dstate = dstate + drs * r
-        dr_pre = dr * r * (1.0 - r)
-        dx = (
-            _mm(dz_pre, wz_ref[:].T)
-            + _mm(dr_pre, wr_ref[:].T)
-            + _mm(dn_pre, wn_ref[:].T)
-        )
-        dh_in = dx[:, :hidden]
-        dm = dx[:, hidden:2 * hidden]
-        dstate = dstate + _mm(dz_pre, uz_ref[:].T) + _mm(dr_pre, ur_ref[:].T)
-
-        dwz_ref[...] += _mm(x.T, dz_pre)
-        dwr_ref[...] += _mm(x.T, dr_pre)
-        dwn_ref[...] += _mm(x.T, dn_pre)
-        duz_ref[...] += _mm(state.T, dz_pre)
-        dur_ref[...] += _mm(state.T, dr_pre)
-        dun_ref[...] += _mm((r * state).T, dn_pre)
-        dbz_ref[...] += jnp.sum(dz_pre, axis=0, keepdims=True)
-        dbr_ref[...] += jnp.sum(dr_pre, axis=0, keepdims=True)
-        dbn_ref[...] += jnp.sum(dn_pre, axis=0, keepdims=True)
-
-        if AGG_KBATCH:
-            dm_b = dm.reshape(k_tiles, t, hidden)
-            dhw_stack = _bmm(adj, dm_b, 1)
-            dhw_all = (
-                dhw_stack.reshape(k_tiles, NUM_EDGE_TYPE, t, hidden)
-                .transpose(0, 2, 1, 3)
-                .reshape(kt, NUM_EDGE_TYPE * hidden)
-            )
-            w_all = jnp.concatenate(
-                [wmsg_ref[l, e] for e in range(NUM_EDGE_TYPE)], axis=1
-            )
-            dw_all = _mm(h_in.T, dhw_all)
-            db_all = jnp.sum(dhw_all, axis=0, keepdims=True)
-            for e in range(NUM_EDGE_TYPE):
-                dwmsg_ref[l, e] += dw_all[:, e * hidden:(e + 1) * hidden]
-                dbmsg_ref[l, e] += db_all[:, e * hidden:(e + 1) * hidden]
-            dh_in = dh_in + _mm(dhw_all, w_all.T)
-        else:
-            dhw_stacks = [
-                _mm(adj[k].T, dm[k * t:(k + 1) * t])
-                for k in range(k_tiles)
-            ]
-            for e in range(NUM_EDGE_TYPE):
-                dhw_e = jnp.concatenate(
-                    [s[e * t:(e + 1) * t] for s in dhw_stacks], axis=0
-                )
-                dwmsg_ref[l, e] += _mm(h_in.T, dhw_e)
-                dbmsg_ref[l, e] += jnp.sum(dhw_e, axis=0, keepdims=True)
-                dh_in = dh_in + _mm(dhw_e, wmsg_ref[l, e].T)
-        dh = dh_in + (dstate if l > 0 else 0.0)
-
+    dh = _reverse_layers(
+        n_layers, k_tiles, dh, h_scratch, adj, weights,
+        wmsg_ref, bmsg_ref, dwmsg_ref, dbmsg_ref,
+        dwz_ref, duz_ref, dbz_ref, dwr_ref, dur_ref, dbr_ref,
+        dwn_ref, dun_ref, dbn_ref,
+    )
     dh0_ref[...] = (dh + dh0_direct).reshape(dh0_ref.shape)
 
 

@@ -217,7 +217,8 @@ def edgeshard_comm_budget(
 
 
 def print_comm_budget_table(param_count: int, out_dim: int = 32,
-                            n_devices: int = 8, n_hosts: int = 2) -> list:
+                            n_devices: int = 8, n_hosts: int = 2,
+                            hidden_dim: "int | None" = None) -> list:
     """The dryrun_multichip tail: per-step collective volume and the
     derived scaling-efficiency bound at B=2048/8192 (VERDICT r1 #5),
     computed from the live measured step time (VERDICT r2 weak #6).
@@ -240,11 +241,13 @@ def print_comm_budget_table(param_count: int, out_dim: int = 32,
         # co-attention adds one atom-state all_gather: measured pack
         # density is ~14.6 atoms/mol at 0.98 tile occupancy (bench.py
         # packed stats: 467 tiles at B=2048), i.e. the full (P*T, H)
-        # node table.  The efficiency quotient below reuses the
-        # FLAGSHIP step's compute, which a co-attention step exceeds —
-        # so the printed value is a conservative lower bound.
+        # node table — width = the ENCODER hidden dim, which equals
+        # out_dim only for the flagship config (pass hidden_dim for
+        # wide-encoder budgets).  The efficiency quotient below reuses
+        # the FLAGSHIP step's compute, which a co-attention step
+        # exceeds — so the printed value is a conservative lower bound.
         p_tiles = 2 * b * 14.6 / (128.0 * 0.98)
-        ag_bytes = p_tiles * 128 * out_dim * 4.0
+        ag_bytes = p_tiles * 128 * (hidden_dim or out_dim) * 4.0
         ag_ici = ring_all_gather_s(ag_bytes, n_devices, ICI_BW)
         eff = budget.compute_s / (
             budget.compute_s + budget.collective_s_ici + ag_ici)

@@ -30,37 +30,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gcnbmp_tpu.models.packed import PackedPairPredictor
 
 
-def sigmoid_ce_elements(logits, labels):
-    """Per-element sigmoid CE + validity mask (labels < 0 ignored) —
-    the elementwise form of train.loop.sigmoid_cross_entropy, reduced
-    globally by the edgeshard losses via two scalar psums."""
-    per = optax.sigmoid_binary_cross_entropy(logits, labels)
-    valid = (labels >= 0).astype(per.dtype)
-    return per, valid
-
-
-def focal_elements(gamma: float = 2.0, alpha: float = 0.25):
-    """Elementwise twin of train.loop.sigmoid_focal_loss (the fixed
-    version of the reference's broken functions.py:17-126)."""
-
-    def fn(logits, labels):
-        p = jax.nn.sigmoid(logits)
-        ce = optax.sigmoid_binary_cross_entropy(logits, labels)
-        p_t = p * labels + (1.0 - p) * (1.0 - labels)
-        alpha_t = alpha * labels + (1.0 - alpha) * (1.0 - labels)
-        per = alpha_t * (1.0 - p_t) ** gamma * ce
-        valid = (labels >= 0).astype(per.dtype)
-        return per, valid
-
-    return fn
-
-
-def hinge_elements(logits, labels):
-    """Elementwise twin of train.loop.hinge_loss."""
-    sign = 2.0 * labels - 1.0
-    valid = (labels >= 0).astype(logits.dtype)
-    per = jnp.maximum(0.0, 1.0 - sign * logits)
-    return per, valid
+# The elementwise loss forms are single-sourced in train.loop (they
+# also define the single-device mean reductions); re-exported here for
+# the edgeshard API (ADVICE-class round-4 review finding: duplicated
+# loss math meant the focal NaN fix would have had to land twice).
+from gcnbmp_tpu.train.loop import (  # noqa: E402
+    focal_elements,
+    hinge_elements,
+    sigmoid_ce_elements,
+)
 
 
 def elementwise_loss_for(name: str, **kwargs):
@@ -500,9 +478,10 @@ def shard_packed_coattn_batch(coo, mesh: Mesh, axis: str = "graph",
 def pad_partition_gwm(coo, n_dev: int,
                       edge_capacity_per_shard: "int | None" = None):
     """pad_partition_coo + the replicated per-molecule supernode table
-    (set by data/packing.attach_supers_coo).  Returns 13 arrays in
-    make_edgeshard_gwm_loss argument order (supers after the edge
-    arrays, replicated — every other array shards over the axis)."""
+    (set by data/packing.attach_supers_coo).  Returns 12 arrays in
+    make_edgeshard_gwm_loss argument order (supers at GWM_SUPERS_INDEX
+    after the edge arrays, replicated — every other array shards over
+    the axis; labels last)."""
     if coo.supers is None:
         raise ValueError("COO batch has no supernode features; build it "
                          "with attach_supers_coo")

@@ -40,43 +40,77 @@ from gcnbmp_tpu.train.schedules import (
 logger = logging.getLogger(__name__)
 
 
+def sigmoid_ce_elements(logits, labels):
+    """Per-element sigmoid CE + validity mask (labels < 0 ignored) —
+    the elementwise single source of truth for the single-device mean
+    below and the edgeshard global-mean psums."""
+    per = optax.sigmoid_binary_cross_entropy(logits, labels)
+    valid = (labels >= 0).astype(per.dtype)
+    return per, valid
+
+
 def sigmoid_cross_entropy(
     logits: jnp.ndarray, labels: jnp.ndarray
 ) -> jnp.ndarray:
     """Chainer F.sigmoid_cross_entropy (normalize=True): mean over all
     elements of the element-wise sigmoid CE; labels < 0 are ignored."""
     logits = jnp.reshape(logits, labels.shape)
-    per_elem = optax.sigmoid_binary_cross_entropy(logits, labels)
-    valid = (labels >= 0).astype(per_elem.dtype)
+    per_elem, valid = sigmoid_ce_elements(logits, labels)
     denom = jnp.maximum(jnp.sum(valid), 1.0)
     return jnp.sum(per_elem * valid) / denom
+
+
+def hinge_elements(logits, labels):
+    """Elementwise binary hinge over +-1 targets + validity mask."""
+    sign = 2.0 * labels - 1.0
+    valid = (labels >= 0).astype(logits.dtype)
+    per = jnp.maximum(0.0, 1.0 - sign * logits)
+    return per, valid
 
 
 def hinge_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Binary hinge loss over +-1 targets (the Classifier's optional
     hinge lossfun, reference train_ddi_modify_eval2.py:566)."""
     logits = jnp.reshape(logits, labels.shape)
-    sign = 2.0 * labels - 1.0
-    valid = (labels >= 0).astype(logits.dtype)
-    per = jnp.maximum(0.0, 1.0 - sign * logits) * valid
-    return jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1.0)
+    per, valid = hinge_elements(logits, labels)
+    return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def focal_elements(gamma: float = 2.0, alpha: float = 0.25):
+    """Elementwise sigmoid focal loss (Lin et al. 2017) + validity
+    mask: the single source of truth for both the single-device
+    reduction below and the edgeshard global-mean psums
+    (parallel/edgeshard.py).  The reference ships a SigmoidFocalLoss
+    FunctionNode with an undefined variable in its backward
+    (functions.py:101) that cannot run; this is the fixed
+    implementation of the intended feature.
+
+    Ignored labels (< 0, the pair-padding fill) are CLAMPED before the
+    math: with raw -1 labels, (1 - p_t)**gamma is NaN for non-integer
+    gamma (negative base), and NaN*0 masking does not sanitize it —
+    the whole loss and every gradient would NaN (round-4 review
+    finding)."""
+
+    def fn(logits, labels):
+        valid = (labels >= 0).astype(logits.dtype)
+        y = jnp.clip(labels, 0.0, 1.0)
+        p = jax.nn.sigmoid(logits)
+        ce = optax.sigmoid_binary_cross_entropy(logits, y)
+        p_t = p * y + (1.0 - p) * (1.0 - y)
+        alpha_t = alpha * y + (1.0 - alpha) * (1.0 - y)
+        per = alpha_t * (1.0 - p_t) ** gamma * ce
+        return per, valid
+
+    return fn
 
 
 def sigmoid_focal_loss(
     logits: jnp.ndarray, labels: jnp.ndarray,
     gamma: float = 2.0, alpha: float = 0.25,
 ) -> jnp.ndarray:
-    """Correct sigmoid focal loss (Lin et al. 2017).  The reference ships
-    a SigmoidFocalLoss FunctionNode with an undefined variable in its
-    backward (functions.py:101) that cannot run; this is the fixed
-    implementation of the intended feature."""
+    """Mean-reduced focal loss (see focal_elements)."""
     logits = jnp.reshape(logits, labels.shape)
-    p = jax.nn.sigmoid(logits)
-    ce = optax.sigmoid_binary_cross_entropy(logits, labels)
-    p_t = p * labels + (1.0 - p) * (1.0 - labels)
-    alpha_t = alpha * labels + (1.0 - alpha) * (1.0 - labels)
-    per = alpha_t * (1.0 - p_t) ** gamma * ce
-    valid = (labels >= 0).astype(per.dtype)
+    per, valid = focal_elements(gamma, alpha)(logits, labels)
     return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
@@ -765,13 +799,12 @@ class Trainer:
             # instead of the safe-but-4x-amplified 64 default
             s2s_n_max = 64
             if cfg.method == "mpnn":
+                from gcnbmp_tpu.data.packing import max_atoms_lane_rounded
+
                 dss = [self.train_ds]
                 if self.val_ds is not None and len(self.val_ds):
                     dss.append(self.val_ds)
-                m = max(max(g.num_atoms for g in ds.graphs1) for ds in dss)
-                m = max(m, max(
-                    max(g.num_atoms for g in ds.graphs2) for ds in dss))
-                s2s_n_max = ((m + 7) // 8) * 8
+                s2s_n_max = max_atoms_lane_rounded(dss)
             packed_predictor = make_packed_predictor(
                 fp_hidden_dim=cfg.fp_hidden_dim, fp_out_dim=cfg.fp_out_dim,
                 conv_layers=cfg.conv_layers, weight_tying=cfg.weight_tying,
@@ -980,15 +1013,11 @@ class Trainer:
                 if self.uses_supernodes:
                     coo_args_fn = compact_gwm_arrays
                 elif cfg.attn is not None:
-                    n_max = max(
-                        max(g.num_atoms for g in ds.graphs1)
-                        for ds in eval_datasets
+                    from gcnbmp_tpu.data.packing import (
+                        max_atoms_lane_rounded,
                     )
-                    n_max = max(n_max, max(
-                        max(g.num_atoms for g in ds.graphs2)
-                        for ds in eval_datasets
-                    ))
-                    n_max = ((n_max + 7) // 8) * 8  # lane-friendly pad
+
+                    n_max = max_atoms_lane_rounded(eval_datasets)
                     self._coattn_n_max = n_max  # read by the edgeshard
                     coo_args_fn = (                # partition closures
                         lambda b: compact_coattn_arrays(b, n_max)

@@ -389,6 +389,8 @@ def run_mpnn_ab(name="mpnn_ab"):
 
     device = jax.devices()[0]
     bench.HIDDEN = 32
+    saved_dtype = bench.COMPUTE_DTYPE
+    bench.COMPUTE_DTYPE = None  # f32 A/B regardless of prior configs
     saved_af = packed_mod.EDGENET_AGGFIRST
     packed_mod.EDGENET_AGGFIRST = False
     try:
@@ -398,12 +400,13 @@ def run_mpnn_ab(name="mpnn_ab"):
                                                      "mpnn")
             emit({
                 "config": f"{name}_{label}", "path": "packed_mpnn",
-                "edgenet": label, "hidden": 32,
+                "edgenet": label, "hidden": 32, "dtype": "f32",
                 "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
             })
     finally:
         packed_mod.EDGENET_FLAT = True
         packed_mod.EDGENET_AGGFIRST = saved_af
+        bench.COMPUTE_DTYPE = saved_dtype
 
 
 def run_mpnn_bf16_ab(name="mpnn_bf16"):
@@ -563,6 +566,8 @@ def run_mpnn_s2s_ab(name="mpnn_s2s"):
 
     device = jax.devices()[0]
     bench.HIDDEN = 32
+    saved_dtype = bench.COMPUTE_DTYPE
+    bench.COMPUTE_DTYPE = None  # f32 A/B regardless of prior configs
     saved = packed_mod.SET2SET_DENSE
     try:
         for label, dense in (("segment", False), ("dense", True)):
@@ -571,11 +576,12 @@ def run_mpnn_s2s_ab(name="mpnn_s2s"):
                                                      "mpnn")
             emit({
                 "config": f"{name}_{label}", "path": "packed_mpnn",
-                "set2set": label, "hidden": 32,
+                "set2set": label, "hidden": 32, "dtype": "f32",
                 "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
             })
     finally:
         packed_mod.SET2SET_DENSE = saved
+        bench.COMPUTE_DTYPE = saved_dtype
 
 
 def run_mpnn_ab3(name="mpnn_ab3"):
@@ -587,6 +593,8 @@ def run_mpnn_ab3(name="mpnn_ab3"):
 
     device = jax.devices()[0]
     bench.HIDDEN = 32
+    saved_dtype = bench.COMPUTE_DTYPE
+    bench.COMPUTE_DTYPE = None  # f32 A/B regardless of prior configs
     saved_af = packed_mod.EDGENET_AGGFIRST
     try:
         for label, aggfirst in (("flat", False), ("aggfirst", True)):
@@ -596,11 +604,12 @@ def run_mpnn_ab3(name="mpnn_ab3"):
                                                      "mpnn")
             emit({
                 "config": f"{name}_{label}", "path": "packed_mpnn",
-                "edgenet": label, "hidden": 32,
+                "edgenet": label, "hidden": 32, "dtype": "f32",
                 "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
             })
     finally:
         packed_mod.EDGENET_AGGFIRST = saved_af
+        bench.COMPUTE_DTYPE = saved_dtype
 
 
 def run_onehot_ab(name="onehot"):

@@ -178,3 +178,27 @@ def test_dev_variants_in_predictor(method):
         jnp.asarray(batch.mask1), jnp.asarray(batch.mask2),
     )
     assert out.shape == (1, 1) and np.isfinite(np.asarray(out)).all()
+
+
+def test_focal_loss_finite_with_ignored_labels_noninteger_gamma():
+    """Round-4 review finding: with raw -1 (ignored) labels,
+    (1-p_t)**gamma is NaN for non-integer gamma and NaN*0 masking does
+    not sanitize it — labels must be clamped before the math.  Loss
+    and grads stay finite, and the ignored element contributes zero
+    gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gcnbmp_tpu.train.loop import sigmoid_focal_loss
+
+    logits = jnp.asarray([-2.0, 1.0, 0.5])
+    labels = jnp.asarray([-1.0, 1.0, 0.0])
+    for gamma in (1.5, 2.0, 2.5):
+        l = sigmoid_focal_loss(logits, labels, gamma=gamma)
+        assert np.isfinite(float(l)), gamma
+        g = jax.grad(
+            lambda x: sigmoid_focal_loss(x, labels, gamma=gamma))(logits)
+        g = np.asarray(g)
+        assert np.isfinite(g).all(), (gamma, g)
+        assert g[0] == 0.0  # ignored element
