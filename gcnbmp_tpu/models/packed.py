@@ -72,12 +72,76 @@ def _segment_mol_sum(g_nodes, mol_id, num_mols: int):
     sorted (each tile's trailing padding slots carry num_mols, then the
     next tile restarts lower), so the hint would be implementation-
     defined — and the unsorted lowering measures FASTER on the v5e
-    anyway (1.23 vs 1.45 ms standalone at B=2048)."""
+    anyway (1.23 vs 1.45 ms standalone at B=2048).
+
+    ``GCNBMP_MOLSUM_DENSE=1`` swaps in the scatter-free dense form
+    (_mol_sum_dense): the segment_sum's scatter-add is the costliest
+    single op class left in the headline step (1.23 ms standalone at
+    B=2048), and the packed layout admits a gather-only equivalent."""
+    if MOL_SUM_DENSE:
+        return _mol_sum_dense(g_nodes, mol_id, num_mols, _MOL_SUM_NMAX)
     flat = g_nodes.reshape(-1, g_nodes.shape[-1])
     ids = mol_id.reshape(-1)
     return jax.ops.segment_sum(
         flat, ids, num_segments=num_mols + 1
     )[:num_mols]
+
+
+def _device_mol_runs(mol_id, num_mols: int):
+    """Scatter-free per-molecule (start, count) over the flattened packed
+    layout — searchsorted/gather only, no segment op, no sort.
+
+    Exploits two invariants both packers construct (data/packing:
+    molecule ids are remapped to (tile, offset) order and tile padding
+    carries the num_mols sentinel):
+      1. each tile's mol_id ROW is sorted ascending (real molecules in
+         id order, then the sentinel), and
+      2. tiles' first-slot ids are non-decreasing across tiles,
+    so molecule m's tile is a binary search over column 0, and its
+    offset/count a vmapped binary search within that one row.  Returns
+    (starts (num_mols,) int32 flat positions, counts (num_mols,) int32);
+    molecules absent from the batch get count 0."""
+    p, t = mol_id.shape
+    m = jnp.arange(num_mols, dtype=mol_id.dtype)
+    first_col = mol_id[:, 0]
+    b = jnp.clip(
+        jnp.searchsorted(first_col, m, side="right").astype(jnp.int32) - 1,
+        0, p - 1)
+    rows = jnp.take(mol_id, b, axis=0)  # (num_mols, T)
+    lo = jax.vmap(lambda r, q: jnp.searchsorted(r, q, side="left"))(rows, m)
+    hi = jax.vmap(lambda r, q: jnp.searchsorted(r, q, side="right"))(rows, m)
+    starts = b * t + lo.astype(jnp.int32)
+    counts = (hi - lo).astype(jnp.int32)
+    return starts, counts
+
+
+def _mol_sum_dense(g_nodes, mol_id, num_mols: int, n_max: int):
+    """_segment_mol_sum without the scatter: gather each molecule's rows
+    into a (num_mols, n_max) dense table (slot indices from
+    _device_mol_runs, backward a pure inverse gather via
+    ops/slotgather.gather_slot_table) and sum the padded axis.  Same
+    values as the segment form up to f32 summation order.  A molecule
+    wider than n_max poisons the output NaN (same loud-failure contract
+    as PackedSet2Set's dense mode)."""
+    from gcnbmp_tpu.ops.slotgather import gather_slot_table, identity_mol_row
+
+    flat = g_nodes.reshape(-1, g_nodes.shape[-1])
+    ids = mol_id.reshape(-1)
+    starts, counts = _device_mol_runs(mol_id, num_mols)
+    j = jnp.arange(n_max, dtype=jnp.int32)[None, :]
+    slots = jnp.clip(starts[:, None] + j, 0, flat.shape[0] - 1)
+    amask = (j < counts[:, None]).astype(jnp.float32)
+    table = gather_slot_table(flat, slots, amask, ids,
+                              identity_mol_row(num_mols))
+    out = jnp.sum(table, axis=1)
+    return jnp.where(jnp.any(counts > n_max), jnp.nan, out)
+
+
+# Scatter-free molecule readout sum (A/B knob; see _segment_mol_sum).
+# Off by default until the hardware A/B lands; _MOL_SUM_NMAX must bound
+# the largest molecule (loud NaN poisoning otherwise).
+MOL_SUM_DENSE = os.environ.get("GCNBMP_MOLSUM_DENSE", "0") == "1"
+_MOL_SUM_NMAX = int(os.environ.get("GCNBMP_MOLSUM_NMAX", "64"))
 
 
 class PackedGGNN(nn.Module):
@@ -239,6 +303,14 @@ class PackedNFPReadout(nn.Module):
 # (A/B via GCNBMP_SET2SET_DENSE=0); parity + training tests cover both.
 SET2SET_DENSE = os.environ.get("GCNBMP_SET2SET_DENSE", "1") == "1"
 
+# Gather-only VJP for the slot-table atom gathers (round 4): the plain
+# jnp.take backward is a (rows, ch) scatter-add — TPU scatters are
+# row-serialized and were the slowest kernel class in PROFILE_r04.  The
+# packed layout's contiguous-run invariant makes the transpose a pure
+# gather (ops/slotgather.py).  Bit-identical forward, exact backward;
+# A/B via GCNBMP_GATHER_VJP=0.
+GATHER_VJP = os.environ.get("GCNBMP_GATHER_VJP", "1") == "1"
+
 
 def segment_softmax(scores, ids, valid, num_segments: int):
     """Numerically-stable softmax over segments: the packed twin of a
@@ -283,8 +355,15 @@ class PackedSet2Set(nn.Module):
         if SET2SET_DENSE:
             slots, amask, overflow = _device_slot_table(
                 ids, valid, num_mols, self.dense_n_max)
-            atoms = jnp.take(flat, slots.reshape(-1), axis=0).reshape(
-                num_mols, self.dense_n_max, ch) * amask[..., None]
+            if GATHER_VJP:
+                from gcnbmp_tpu.ops.slotgather import (
+                    gather_slot_table, identity_mol_row)
+
+                atoms = gather_slot_table(
+                    flat, slots, amask, ids, identity_mol_row(num_mols))
+            else:
+                atoms = jnp.take(flat, slots.reshape(-1), axis=0).reshape(
+                    num_mols, self.dense_n_max, ch) * amask[..., None]
             neg = jnp.asarray(-1e9, flat.dtype)
             for _ in range(self.processing_steps):
                 carry, q = cell(carry, q_star)       # (M, ch)
@@ -781,8 +860,20 @@ class PackedCoattnPairPredictor(nn.Module):
         )
         g, aux = self.encoder(atom_ids, adj, mol_id, node_mask, num_mols)
         flat = aux["atoms"].reshape(p * t, -1)
-        atoms1 = jnp.take(flat, left_slots, axis=0) * left_mask[..., None]
-        atoms2 = jnp.take(flat, right_slots, axis=0) * right_mask[..., None]
+        if GATHER_VJP:
+            from gcnbmp_tpu.ops.slotgather import (
+                gather_slot_table, side_mol_row)
+
+            ids = mol_id.reshape(-1)
+            atoms1 = gather_slot_table(
+                flat, left_slots, left_mask, ids,
+                side_mol_row(left_index, num_mols))
+            atoms2 = gather_slot_table(
+                flat, right_slots, right_mask, ids,
+                side_mol_row(right_index, num_mols))
+        else:
+            atoms1 = jnp.take(flat, left_slots, axis=0) * left_mask[..., None]
+            atoms2 = jnp.take(flat, right_slots, axis=0) * right_mask[..., None]
         g1 = jnp.take(g, left_index, axis=0)
         g2 = jnp.take(g, right_index, axis=0)
         g1, g2 = self.coattention(atoms1, g1, atoms2, g2, left_mask, right_mask)

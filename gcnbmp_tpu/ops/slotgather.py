@@ -1,0 +1,122 @@
+"""Slot-table gather with a gather-only VJP (no scatter in the backward).
+
+``jnp.take(flat, slots)`` — the op both the dense Set2Set atom table
+(models/packed.PackedSet2Set) and the co-attention atom tables
+(models/packed.PackedCoattnPairPredictor) are built on — autodiffs to a
+scatter-add over the table's rows, and TPU scatters are row-serialized:
+the dense-Set2Set table backward alone scatter-adds num_mols*n_max rows
+per step (PROFILE_r04: scatters are among the slowest kernel class in
+the step; the one-hot-embed win in round 3 came from eliminating the
+same pattern).
+
+This module removes the scatter by exploiting the packed-layout
+invariant (data/packing: molecules occupy CONTIGUOUS flat slot runs and
+each real slot belongs to exactly one masked-in table entry): the
+transpose of an injective contiguous gather is itself a gather —
+
+    grad_flat[p] = grad_table[row(m), p - start(m)]   (m = mol_id[p])
+
+with ``start(m) = slots[row(m), 0]`` read straight off the forward's
+own slot table.  Both sides of the VJP are pure gathers + elementwise
+masking; no scatter, no sort, no segment op.
+
+Correctness REQUIRES the two invariants above; they hold for every
+table produced by data/packing.molecule_slot_table and
+models/packed._device_slot_table (asserted in tests/test_slotgather.py,
+including grad parity against the plain-take form).  No reference
+counterpart — the reference's readout/co-attention batching is padded
+per-molecule (models/readout/set2set.py:14-57,
+models/coattention/*), so this layout problem does not exist there.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _float0_zeros(x):
+    """The cotangent JAX expects for an integer-dtype primal."""
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def gather_slot_table(flat, slots, amask, ids, mol_row):
+    """``flat[slots] * amask[..., None]`` with a gather-only backward.
+
+    Args:
+        flat: (N, C) node states over the flattened packed layout.
+        slots: (R, n_max) int32 flat indices; row r holds molecule
+            ``m``'s atoms at ``slots[r, j] = start(m) + j`` for every
+            masked-in j (contiguous runs; pad entries arbitrary but
+            masked out).
+        amask: (R, n_max) float mask, 1 on real atoms.
+        ids: (N,) int32 molecule id per flat slot (padding slots carry
+            an id >= mol_row.shape[0] - 1, i.e. the sentinel row).
+        mol_row: (num_mols + 1,) int32 mapping molecule id -> table row
+            r, or -1 for molecules not in this table (e.g. the other
+            side of a pair); the final entry is the padding sentinel
+            and must be -1.
+
+    Returns:
+        (R, n_max, C) gathered, masked atom table — bit-identical to
+        ``jnp.take(flat, slots.reshape(-1), axis=0).reshape(R, n_max, -1)
+        * amask[..., None]``.
+    """
+    r, n_max = slots.shape
+    atoms = jnp.take(flat, slots.reshape(-1), axis=0).reshape(r, n_max, -1)
+    return atoms * amask[..., None]
+
+
+def _fwd(flat, slots, amask, ids, mol_row):
+    out = gather_slot_table(flat, slots, amask, ids, mol_row)
+    proto = jnp.zeros((0,), flat.dtype)  # dtype carrier (a dtype object
+    # itself is not a valid residual leaf)
+    return out, (slots, amask, ids, mol_row, flat.shape[0], proto)
+
+
+def _bwd(res, g):
+    slots, amask, ids, mol_row, n, proto = res
+    flat_dtype = proto.dtype
+    r_rows, n_max = slots.shape
+    pos = jnp.arange(n, dtype=jnp.int32)
+    m = jnp.clip(ids, 0, mol_row.shape[0] - 1)
+    row = jnp.take(mol_row, m)                      # (N,) table row or -1
+    row_c = jnp.clip(row, 0, r_rows - 1)
+    start = jnp.take(slots[:, 0], row_c)            # start(m) per flat slot
+    off = pos - start
+    ok = (row >= 0) & (off >= 0) & (off < n_max)
+    idx = jnp.clip(row_c * n_max + jnp.clip(off, 0, n_max - 1),
+                   0, r_rows * n_max - 1)
+    # a flat slot only receives a gradient if ITS table entry is
+    # masked-in (pad table entries were zeroed in the forward)
+    ok = ok & (jnp.take(amask.reshape(-1), idx) > 0)
+    gf = g.reshape(r_rows * n_max, -1)
+    grad_flat = jnp.where(ok[:, None], jnp.take(gf, idx, axis=0), 0)
+    return (grad_flat.astype(flat_dtype), _float0_zeros(slots),
+            jnp.zeros_like(amask), _float0_zeros(ids),
+            _float0_zeros(mol_row))
+
+
+gather_slot_table.defvjp(_fwd, _bwd)
+
+
+def identity_mol_row(num_mols: int) -> jnp.ndarray:
+    """mol_row for a table with one row per molecule in id order
+    (the dense Set2Set case): [0, 1, ..., num_mols-1, -1]."""
+    return jnp.concatenate([
+        jnp.arange(num_mols, dtype=jnp.int32),
+        jnp.full((1,), -1, jnp.int32),
+    ])
+
+
+def side_mol_row(index: jnp.ndarray, num_mols: int) -> jnp.ndarray:
+    """mol_row for a per-pair table over one side of the pair batch
+    (the co-attention case): molecule ``index[i]`` maps to row i,
+    every other molecule (the other side) to -1.  One (B,)-row int32
+    scatter — negligible next to the (B*n_max, C) scatter-add it
+    replaces in the backward."""
+    base = jnp.full((num_mols + 1,), -1, jnp.int32)
+    return base.at[index].set(jnp.arange(index.shape[0], dtype=jnp.int32))

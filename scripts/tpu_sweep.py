@@ -612,6 +612,124 @@ def run_mpnn_ab3(name="mpnn_ab3"):
         bench.COMPUTE_DTYPE = saved_dtype
 
 
+def _measure_coattn_step(attn="nie", dtype=None):
+    """Packed co-attention train step (the production path every
+    co-attention quality row ran on: wire-compact COO +
+    PackedCoattnPairPredictor)."""
+    import numpy as np
+    import optax
+
+    from gcnbmp_tpu.data.packing import (
+        max_atoms_lane_rounded,
+        pack_pair_dataset_coo,
+    )
+    from gcnbmp_tpu.models.packed import (
+        compact_coattn_arrays,
+        make_packed_predictor,
+    )
+    from gcnbmp_tpu.train.loop import sigmoid_cross_entropy
+
+    device = jax.devices()[0]
+    ds = bench.build_dataset()
+    b = pack_pair_dataset_coo(ds, list(range(bench.BATCH)))
+    n_max = max_atoms_lane_rounded([ds])
+    args = tuple(jax.device_put(jnp.asarray(a), device)
+                 for a in compact_coattn_arrays(b, n_max))
+    y = jax.device_put(jnp.asarray(b.labels), device)
+    predictor = make_packed_predictor(
+        fp_hidden_dim=bench.HIDDEN, fp_out_dim=bench.HIDDEN,
+        conv_layers=bench.LAYERS, weight_tying=False, sim_method="hole",
+        attn=attn, compute_dtype=dtype,
+    )
+    optimizer = optax.adam(1e-3)
+    params = jax.device_put(
+        predictor.init(jax.random.PRNGKey(0), *args)["params"], device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+
+    def loss_fn(p):
+        logits = predictor.apply({"params": p}, *args)
+        return sigmoid_cross_entropy(jnp.reshape(logits, y.shape), y)
+
+    @jax.jit
+    def step(p, s):
+        l, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, l
+
+    for _ in range(bench.WARMUP):
+        params, opt_state, loss = step(params, opt_state)
+    float(loss)
+    t0 = time.time()
+    for _ in range(bench.ITERS):
+        params, opt_state, loss = step(params, opt_state)
+    assert np.isfinite(float(loss))
+    dt = (time.time() - t0) / bench.ITERS
+    return float(b.num_edges) / dt, dt, float(b.num_edges)
+
+
+def run_gather_vjp_ab(name="gathervjp"):
+    """Gather-only slot-table VJP A/B (ops/slotgather.py): the dense
+    Set2Set atom table and the co-attention atom tables backward as a
+    pure inverse gather instead of a row-serialized scatter-add.
+    Measured on the two production paths that hit it: MPNN (dense
+    Set2Set, bf16, fitted n_max) and the co-attention step (nie)."""
+    from gcnbmp_tpu.models import packed as packed_mod
+
+    device = jax.devices()[0]
+    bench.HIDDEN = 32
+    saved_dtype = bench.COMPUTE_DTYPE
+    saved = packed_mod.GATHER_VJP
+    try:
+        bench.COMPUTE_DTYPE = jnp.bfloat16
+        for label, flag in (("scatter", False), ("gather", True)):
+            packed_mod.GATHER_VJP = flag
+            eps, dt, _ = bench.measure_packed_method(device, bench.ITERS,
+                                                     "mpnn")
+            emit({
+                "config": f"{name}_mpnn_{label}", "path": "packed_mpnn",
+                "table_vjp": label, "hidden": 32, "dtype": "bf16",
+                "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+            })
+        for label, flag in (("scatter", False), ("gather", True)):
+            packed_mod.GATHER_VJP = flag
+            eps, dt, _ = _measure_coattn_step("nie", jnp.bfloat16)
+            emit({
+                "config": f"{name}_coattn_{label}", "path": "packed_coattn",
+                "table_vjp": label, "attn": "nie", "hidden": 32,
+                "dtype": "bf16",
+                "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+            })
+    finally:
+        packed_mod.GATHER_VJP = saved
+        bench.COMPUTE_DTYPE = saved_dtype
+
+
+def run_molsum_ab(name="molsum"):
+    """Scatter-free dense molecule-sum readout A/B
+    (models/packed._mol_sum_dense): the readout segment_sum is a 1.23 ms
+    standalone scatter-add at B=2048 — the costliest op class left in
+    the headline step.  Measured on the headline config (scan bf16
+    h=32, one staged batch — where XLA may hoist the searchsorted slot
+    build as loop-invariant) AND on coo_scan (distinct stacked batches
+    — the honest Trainer-like cost including the per-batch build)."""
+    from gcnbmp_tpu.models import packed as packed_mod
+
+    saved = packed_mod.MOL_SUM_DENSE
+    saved_nmax = packed_mod._MOL_SUM_NMAX
+    try:
+        packed_mod._MOL_SUM_NMAX = 32  # bench drugs max 24 atoms
+        for label, flag in (("segment", False), ("dense", True)):
+            packed_mod.MOL_SUM_DENSE = flag
+            run_scan(f"{name}_{label}_scan_bf16_32", 32, jnp.bfloat16)
+        for label, flag in (("segment", False), ("dense", True)):
+            packed_mod.MOL_SUM_DENSE = flag
+            run_coo_scan(f"{name}_{label}_cooscan_bf16_32", 32,
+                         jnp.bfloat16)
+    finally:
+        packed_mod.MOL_SUM_DENSE = saved
+        packed_mod._MOL_SUM_NMAX = saved_nmax
+
+
 def run_onehot_ab(name="onehot"):
     """EmbedAtomID lookup A/B on the headline config (scan bf16 h=32):
     gather+scatter vs one-hot matmul."""
@@ -684,6 +802,8 @@ CONFIGS = {
     "mpnn_bf16_ab": run_mpnn_bf16_ab,
     "mpnn_parts": run_mpnn_parts,
     "mpnn_s2s_ab": run_mpnn_s2s_ab,
+    "gather_vjp_ab": run_gather_vjp_ab,
+    "molsum_ab": run_molsum_ab,
     "mpnn_nmax_ab": run_mpnn_nmax_ab,
     # round-4 fused-kernel K-batched aggregation A/B (VERDICT r3 #5)
     "fused32_kbatch": lambda: run_fused("fused32_kbatch", 32, kbatch=True),
