@@ -37,12 +37,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _float0_zeros(x):
-    """The cotangent JAX expects for an integer-dtype primal."""
-    return np.zeros(x.shape, jax.dtypes.float0)
-
-
-@jax.custom_vjp
 def gather_slot_table(flat, slots, amask, ids, mol_row):
     """``flat[slots] * amask[..., None]`` with a gather-only backward.
 
@@ -65,21 +59,41 @@ def gather_slot_table(flat, slots, amask, ids, mol_row):
         ``jnp.take(flat, slots.reshape(-1), axis=0).reshape(R, n_max, -1)
         * amask[..., None]``.
     """
-    r, n_max = slots.shape
+    # The index arrays ride through the custom_vjp as f32 so their
+    # cotangents are ordinary zero floats: float0 cotangents for integer
+    # primals break shard_map's transpose ("Unexpected XLA sharding
+    # override" — hit by the edgeshard co-attention path).  f32 is exact
+    # for indices < 2^24; the packed layouts are orders of magnitude
+    # below that (P < 2^15 tiles already bounds flat slots < 2^22).
+    if flat.shape[0] >= (1 << 24) or slots.size >= (1 << 24):
+        raise ValueError("gather_slot_table: index range exceeds exact-f32")
+    sg = jax.lax.stop_gradient
+    return _gather_slot_table_f(flat, sg(jnp.asarray(slots, jnp.float32)),
+                                sg(amask), sg(jnp.asarray(ids, jnp.float32)),
+                                sg(jnp.asarray(mol_row, jnp.float32)))
+
+
+@jax.custom_vjp
+def _gather_slot_table_f(flat, slots_f, amask, ids_f, mol_row_f):
+    r, n_max = slots_f.shape
+    slots = slots_f.astype(jnp.int32)
     atoms = jnp.take(flat, slots.reshape(-1), axis=0).reshape(r, n_max, -1)
     return atoms * amask[..., None]
 
 
-def _fwd(flat, slots, amask, ids, mol_row):
-    out = gather_slot_table(flat, slots, amask, ids, mol_row)
+def _fwd(flat, slots_f, amask, ids_f, mol_row_f):
+    out = _gather_slot_table_f(flat, slots_f, amask, ids_f, mol_row_f)
     proto = jnp.zeros((0,), flat.dtype)  # dtype carrier (a dtype object
     # itself is not a valid residual leaf)
-    return out, (slots, amask, ids, mol_row, flat.shape[0], proto)
+    return out, (slots_f, amask, ids_f, mol_row_f, flat.shape[0], proto)
 
 
 def _bwd(res, g):
-    slots, amask, ids, mol_row, n, proto = res
+    slots_f, amask, ids_f, mol_row_f, n, proto = res
     flat_dtype = proto.dtype
+    slots = slots_f.astype(jnp.int32)
+    ids = ids_f.astype(jnp.int32)
+    mol_row = mol_row_f.astype(jnp.int32)
     r_rows, n_max = slots.shape
     pos = jnp.arange(n, dtype=jnp.int32)
     m = jnp.clip(ids, 0, mol_row.shape[0] - 1)
@@ -95,12 +109,12 @@ def _bwd(res, g):
     ok = ok & (jnp.take(amask.reshape(-1), idx) > 0)
     gf = g.reshape(r_rows * n_max, -1)
     grad_flat = jnp.where(ok[:, None], jnp.take(gf, idx, axis=0), 0)
-    return (grad_flat.astype(flat_dtype), _float0_zeros(slots),
-            jnp.zeros_like(amask), _float0_zeros(ids),
-            _float0_zeros(mol_row))
+    return (grad_flat.astype(flat_dtype), jnp.zeros_like(slots_f),
+            jnp.zeros_like(amask), jnp.zeros_like(ids_f),
+            jnp.zeros_like(mol_row_f))
 
 
-gather_slot_table.defvjp(_fwd, _bwd)
+_gather_slot_table_f.defvjp(_fwd, _bwd)
 
 
 def identity_mol_row(num_mols: int) -> jnp.ndarray:

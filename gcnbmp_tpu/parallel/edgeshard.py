@@ -231,8 +231,29 @@ def make_edgeshard_coattn_loss(
         # complete the global per-node state table (device-order concat
         # matches the contiguous tile split of shard_packed_coattn_batch)
         flat = jax.lax.all_gather(flat_local, axis, tiled=True)
-        atoms1 = jnp.take(flat, left_slots, axis=0) * left_mask[..., None]
-        atoms2 = jnp.take(flat, right_slots, axis=0) * right_mask[..., None]
+        from gcnbmp_tpu.models.packed import GATHER_VJP
+
+        if GATHER_VJP:
+            # gather-only table VJP (ops/slotgather.py): needs the
+            # GLOBAL per-slot molecule ids — an extra int32 all_gather
+            # (~3% of the float table's payload) that turns the table
+            # backward from a scatter-add over the global flat table
+            # into a pure gather; each device back-propagates only its
+            # own pairs' entries and the all_gather's transpose
+            # (reduce-scatter) sums across devices as before.
+            from gcnbmp_tpu.ops.slotgather import (
+                gather_slot_table, side_mol_row)
+
+            ids_g = jax.lax.all_gather(mol_id.reshape(-1), axis, tiled=True)
+            atoms1 = gather_slot_table(
+                flat, left_slots, left_mask, ids_g,
+                side_mol_row(left, num_mols))
+            atoms2 = gather_slot_table(
+                flat, right_slots, right_mask, ids_g,
+                side_mol_row(right, num_mols))
+        else:
+            atoms1 = jnp.take(flat, left_slots, axis=0) * left_mask[..., None]
+            atoms2 = jnp.take(flat, right_slots, axis=0) * right_mask[..., None]
         g1 = jnp.take(g, left, axis=0)
         g2 = jnp.take(g, right, axis=0)
         g1, g2 = predictor.coattention.apply(
@@ -255,9 +276,15 @@ def make_edgeshard_coattn_loss(
         P(axis), P(axis),                             # atom masks (pairs)
         P(axis),                                      # labels
     )
+    # check_vma=True (unlike the sibling losses): with vma checking OFF,
+    # shard_map's linearization pins every custom-VJP residual to
+    # P(axis) while XLA infers the all_gathered/replicated residuals of
+    # ops/slotgather as replicated -> "Unexpected XLA sharding override"
+    # on the backward.  With checking ON the varying-axes are tracked
+    # properly and the gather-only table VJP composes.
     return jax.shard_map(
         local_loss, mesh=mesh, in_specs=in_specs, out_specs=P(),
-        check_vma=False,
+        check_vma=True,
     )
 
 
