@@ -490,3 +490,18 @@ def molecule_slot_table(
     return slots, mask
 
 
+def check_side_index_injective(index: np.ndarray, mask: np.ndarray) -> None:
+    """Assert a co-attention side-index array satisfies the injectivity
+    requirement of ops/slotgather.side_mol_row: no molecule id may
+    appear in two rows that both have masked-in atoms (last-write-wins
+    in the row map would silently drop one row's gradient).  Host-side
+    numpy, O(B log B) — negligible next to packing."""
+    real = np.asarray(mask).reshape(mask.shape[0], -1).any(axis=1)
+    ids = np.asarray(index)[real]
+    if ids.size != np.unique(ids).size:
+        raise ValueError(
+            "co-attention side index repeats a molecule id across rows "
+            "with real atoms; slotgather.side_mol_row requires injectivity"
+        )
+
+

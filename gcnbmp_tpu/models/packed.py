@@ -888,11 +888,17 @@ def compact_coattn_arrays(batch, n_max: int) -> Tuple:
     PackedCoattnPairPredictor."""
     from gcnbmp_tpu.data.packing import molecule_slot_table
 
+    from gcnbmp_tpu.data.packing import check_side_index_injective
+
     base = compact_coo_arrays(batch)
     slots, mask = molecule_slot_table(batch.mol_id, batch.num_mols, n_max)
+    lmask = mask[batch.left_index]
+    rmask = mask[batch.right_index]
+    check_side_index_injective(batch.left_index, lmask)
+    check_side_index_injective(batch.right_index, rmask)
     return base + (
         slots[batch.left_index], slots[batch.right_index],
-        mask[batch.left_index], mask[batch.right_index],
+        lmask, rmask,
     )
 
 

@@ -104,11 +104,14 @@ def _bwd(res, g):
     ok = (row >= 0) & (off >= 0) & (off < n_max)
     idx = jnp.clip(row_c * n_max + jnp.clip(off, 0, n_max - 1),
                    0, r_rows * n_max - 1)
-    # a flat slot only receives a gradient if ITS table entry is
-    # masked-in (pad table entries were zeroed in the forward)
-    ok = ok & (jnp.take(amask.reshape(-1), idx) > 0)
+    # exact transpose of ``atoms * amask``: scale the gathered cotangent
+    # by the slot's own amask value (0 on pad entries, so this also
+    # zeroes slots whose table entry is masked out; exact for fractional
+    # masks, not just binary ones)
+    aval = jnp.take(amask.reshape(-1), idx)
     gf = g.reshape(r_rows * n_max, -1)
-    grad_flat = jnp.where(ok[:, None], jnp.take(gf, idx, axis=0), 0)
+    grad_flat = jnp.where(ok[:, None],
+                          jnp.take(gf, idx, axis=0) * aval[:, None], 0)
     return (grad_flat.astype(flat_dtype), jnp.zeros_like(slots_f),
             jnp.zeros_like(amask), jnp.zeros_like(ids_f),
             jnp.zeros_like(mol_row_f))
@@ -131,6 +134,15 @@ def side_mol_row(index: jnp.ndarray, num_mols: int) -> jnp.ndarray:
     (the co-attention case): molecule ``index[i]`` maps to row i,
     every other molecule (the other side) to -1.  One (B,)-row int32
     scatter — negligible next to the (B*n_max, C) scatter-add it
-    replaces in the backward."""
+    replaces in the backward.
+
+    REQUIRES ``index`` to be injective over entries whose table row has
+    any masked-in atom: the ``.at[index].set`` is last-write-wins, so a
+    molecule id appearing in two real rows would silently route both
+    rows' cotangents to one row and drop the other's gradient.  Every
+    packer satisfies this (pair mol ids are globally unique per batch;
+    padded pairs reuse the sentinel id but are fully masked), and the
+    co-attention array builders assert it host-side in debug mode
+    (data/packing.check_side_index_injective)."""
     base = jnp.full((num_mols + 1,), -1, jnp.int32)
     return base.at[index].set(jnp.arange(index.shape[0], dtype=jnp.int32))

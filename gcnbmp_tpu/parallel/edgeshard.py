@@ -196,6 +196,7 @@ def make_edgeshard_coattn_loss(
     mesh: Mesh,
     axis: str = "graph",
     elementwise_loss=sigmoid_ce_elements,
+    gather_vjp: "bool | None" = None,
 ) -> Callable:
     """Edgeshard loss for the co-attention pair predictor
     (models/packed.PackedCoattnPairPredictor semantics over the sharded
@@ -208,8 +209,17 @@ def make_edgeshard_coattn_loss(
     Payload: P*T*H floats (e.g. 7.6 MB at B=2048/h=32 — same order as
     the molecule-table psum; rides ICI).  Everything else (affinity,
     softmax, head) is pair-local.  (VERDICT r3 #4: the pair-gather
-    collective that puts co-attention on the multi-device path.)"""
+    collective that puts co-attention on the multi-device path.)
+
+    ``gather_vjp`` pins the table-VJP mode INTO the closure at build
+    time (default: the current models.packed.GATHER_VJP).  The flag is
+    deliberately not re-read inside local_loss: jit caches are
+    shape-keyed, so a global read at trace time would silently keep the
+    old path after an env-var toggle — A/Bs must rebuild the loss (as
+    the sweep harness does) or pass the flag here explicitly."""
     n_dev = mesh.shape[axis]
+    if gather_vjp is None:
+        from gcnbmp_tpu.models.packed import GATHER_VJP as gather_vjp
 
     def local_loss(params, atom_ids, e_tile, e_type, e_src, e_dst, e_mask,
                    mol_id, node_mask, left, right,
@@ -231,9 +241,7 @@ def make_edgeshard_coattn_loss(
         # complete the global per-node state table (device-order concat
         # matches the contiguous tile split of shard_packed_coattn_batch)
         flat = jax.lax.all_gather(flat_local, axis, tiled=True)
-        from gcnbmp_tpu.models.packed import GATHER_VJP
-
-        if GATHER_VJP:
+        if gather_vjp:
             # gather-only table VJP (ops/slotgather.py): needs the
             # GLOBAL per-slot molecule ids — an extra int32 all_gather
             # (~3% of the float table's payload) that turns the table
@@ -486,6 +494,9 @@ def pad_partition_coattn(coo, n_dev: int, n_max: int,
         # zero their atom masks so co-attention sees empty molecules
         left_mask[-pad_pairs:] = 0.0
         right_mask[-pad_pairs:] = 0.0
+    from gcnbmp_tpu.data.packing import check_side_index_injective
+    check_side_index_injective(left, left_mask)
+    check_side_index_injective(right, right_mask)
     return (
         atom_ids, e_tile, e_type, e_src, e_dst, e_mask, mol_id, node_mask,
         left, right, left_slots, right_slots, left_mask, right_mask, labels,

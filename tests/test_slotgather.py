@@ -170,13 +170,24 @@ def test_coattn_predictor_grad_parity(monkeypatch):
 
 def test_device_mol_runs_matches_numpy():
     """_device_mol_runs (searchsorted-only starts/counts) vs a direct
-    numpy computation over real packed batches from both packers."""
+    numpy computation over real packed batches from both packers
+    (pack_pair_dataset_coo and pack_pair_dataset_batch)."""
     from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
     from gcnbmp_tpu.models.packed import _device_mol_runs
 
     for seed in (0, 5):
         b = _coo_batch(n_pairs=7, seed=seed)
-        for mol_id, num_mols in ((b.mol_id, b.num_mols),):
+        f = GGNNFeaturizer()
+        rng = np.random.default_rng(seed + 100)
+        ds = PairDataset()
+        for _ in range(7):
+            s1 = SMILES[int(rng.integers(len(SMILES)))]
+            s2 = SMILES[int(rng.integers(len(SMILES)))]
+            ds.append(f(mol_from_smiles(s1)), f(mol_from_smiles(s2)),
+                      np.float32(rng.integers(0, 2)))
+        bb = pack_pair_dataset_batch(ds, list(range(7)))
+        for mol_id, num_mols in ((b.mol_id, b.num_mols),
+                                 (bb.mol_id, bb.num_mols)):
             starts, counts = jax.jit(
                 _device_mol_runs, static_argnums=1
             )(jnp.asarray(mol_id), num_mols)
