@@ -381,14 +381,25 @@ def _mol_from_rdkit(smiles: str) -> Optional[Mol]:  # pragma: no cover
     return mol.finalize()
 
 
-def mol_from_smiles(smiles: str, strict: bool = False) -> Optional[Mol]:
+def mol_from_smiles(smiles: str, strict: bool = False,
+                    backend: str = "auto") -> Optional[Mol]:
     """Parse SMILES -> Mol.  Returns None on failure unless ``strict``.
 
     Mirrors the reference's use of MolFromSmiles returning None for
     unparseable rows, which the CSV parser skips with a fail count
     (reference: parsers.py:222-262).
+
+    ``backend``: "auto" (RDKit sanitization when installed — the
+    reference's exact chemistry, ggnn_preprocessor.py:10-11 — else the
+    built-in parser), "rdkit" (require RDKit), or "own" (force the
+    built-in parser + Hückel perception even when RDKit is present —
+    used by the cross-check test tests/test_rdkit_crosscheck.py).
     """
-    if HAVE_RDKIT:  # pragma: no cover
+    if backend not in ("auto", "rdkit", "own"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend == "rdkit" and not HAVE_RDKIT:
+        raise ImportError("backend='rdkit' requested but rdkit is not installed")
+    if HAVE_RDKIT and backend in ("auto", "rdkit"):  # pragma: no cover
         mol = _mol_from_rdkit(smiles)
         if mol is None and strict:
             raise SmilesError(f"rdkit failed to parse {smiles!r}")

@@ -10,6 +10,8 @@ CSV, and fit a FixedEmbeddingPredictor head.
 
 from __future__ import annotations
 
+import json
+import os
 import pickle
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -69,12 +71,7 @@ def train_fixed_embedding_head(
     seed: int = 2018,
 ) -> Dict:
     """Fit a scoring head over frozen embeddings; returns params + metrics."""
-    head_kwargs = {"out_dim": class_num}
-    if sim_method in ("hole", "mlp", "symmlp", "ntn", "dist-mult"):
-        head_kwargs["hidden_dims"] = net_hidden_dims
-    predictor = FixedEmbeddingPredictor(
-        head=HEADS[sim_method](name="head", **head_kwargs)
-    )
+    predictor = _build_fixed_predictor(sim_method, class_num, net_hidden_dims)
     rng = jax.random.PRNGKey(seed)
     variables = predictor.init(rng, jnp.asarray(e1[:2]), jnp.asarray(e2[:2]))
     params = variables["params"]
@@ -119,3 +116,109 @@ def train_fixed_embedding_head(
         vlogits = np.asarray(infer(params, jnp.asarray(v1), jnp.asarray(v2)))
         out["val_metrics"] = binary_metrics(vlogits, vy)
     return out
+
+
+def _build_fixed_predictor(sim_method: str, class_num: int,
+                           net_hidden_dims: Tuple[int, ...]):
+    head_kwargs = {"out_dim": class_num}
+    if sim_method in ("hole", "mlp", "symmlp", "ntn", "dist-mult"):
+        head_kwargs["hidden_dims"] = tuple(net_hidden_dims)
+    return FixedEmbeddingPredictor(
+        head=HEADS[sim_method](name="head", **head_kwargs)
+    )
+
+
+def save_fixed_run(out_dir: str, result: Dict, *, sim_method: str,
+                   class_num: int, net_hidden_dims: Tuple[int, ...],
+                   table: Dict[str, np.ndarray]) -> None:
+    """Write a self-contained fixed-embedding run directory.
+
+    Layout: ``config.json`` (method="fixed" + head config — the marker
+    predict.py routes on), ``params.msgpack`` (flax serialization, no
+    code execution on load — unlike the reference's pickled model,
+    mol2vec_predict.py), ``embeddings.npz`` (ids + vectors, so scoring
+    needs no external artifact), ``metrics.json``."""
+    import jax
+    from flax import serialization
+
+    os.makedirs(out_dir, exist_ok=True)
+    ids = sorted(table)
+    vecs = np.stack([table[i] for i in ids]).astype(np.float32)
+    cfg = {
+        "method": "fixed",
+        "sim_method": sim_method,
+        "class_num": int(class_num),
+        "net_hidden_dims": list(net_hidden_dims),
+        "emb_dim": int(vecs.shape[1]),
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=1)
+    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(result["params"])))
+    np.savez(os.path.join(out_dir, "embeddings.npz"),
+             ids=np.asarray(ids), vecs=vecs)
+    metrics = {k: result[k] for k in ("train_metrics", "val_metrics", "losses")
+               if k in result}
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1, default=float)
+
+
+def is_fixed_run(run_dir: str) -> bool:
+    """True when ``run_dir`` is a fixed-embedding run (config.json with
+    method == "fixed") — the predict.py routing check (the reference
+    keeps a separate script for this, mol2vec_predict.py)."""
+    path = os.path.join(run_dir, "config.json")
+    try:
+        with open(path) as f:
+            return json.load(f).get("method") == "fixed"
+    except (OSError, ValueError):
+        return False
+
+
+def load_fixed_run(run_dir: str):
+    """Load (predictor, params, id->vector table) from save_fixed_run."""
+    import jax
+    from flax import serialization
+
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = json.load(f)
+    predictor = _build_fixed_predictor(
+        cfg["sim_method"], cfg["class_num"], tuple(cfg["net_hidden_dims"]))
+    dummy = jnp.zeros((2, cfg["emb_dim"]), jnp.float32)
+    template = predictor.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
+    with open(os.path.join(run_dir, "params.msgpack"), "rb") as f:
+        params = serialization.from_bytes(jax.device_get(template), f.read())
+    data = np.load(os.path.join(run_dir, "embeddings.npz"), allow_pickle=False)
+    table = {str(i): v for i, v in zip(data["ids"], data["vecs"])}
+    return predictor, params, table
+
+
+def score_fixed_pairs(run_dir: str, id1, id2,
+                      batch_size: int = 4096) -> Tuple[np.ndarray, np.ndarray]:
+    """Score id pairs with a fixed-embedding run.
+
+    Returns ``(probs, present)``: sigmoid probabilities for rows whose
+    BOTH ids are in the run's embedding table (shape (n_present,) or
+    (n_present, class_num)), and the boolean presence mask over the
+    input rows (the analog of the graph path's is_successful)."""
+    import jax
+
+    predictor, params, table = load_fixed_run(run_dir)
+    id1 = [str(x) for x in id1]
+    id2 = [str(x) for x in id2]
+    present = np.array([a in table and b in table for a, b in zip(id1, id2)])
+    if not present.any():
+        return np.zeros((0,), np.float32), present
+    e1 = np.stack([table[a] for a, ok in zip(id1, present) if ok])
+    e2 = np.stack([table[b] for b, ok in zip(id2, present) if ok])
+
+    infer = jax.jit(lambda a, b: predictor.apply({"params": params}, a, b))
+    chunks = []
+    for s in range(0, len(e1), batch_size):
+        logits = np.asarray(infer(jnp.asarray(e1[s:s + batch_size]),
+                                  jnp.asarray(e2[s:s + batch_size])))
+        chunks.append(logits)
+    logits = np.concatenate(chunks)
+    if logits.ndim > 1 and logits.shape[-1] == 1:
+        logits = logits[:, 0]
+    return 1.0 / (1.0 + np.exp(-logits)), present
