@@ -917,12 +917,24 @@ def compact_coo_arrays(batch) -> Tuple:
     t = batch.atom_ids.shape[1]
     sbits = int(t - 1).bit_length()
     nodes = np.stack([batch.atom_ids, batch.mol_id])
+    # the wire form masks edges POSITIONALLY (arange < n_edges), so real
+    # edges must be prefix-contiguous; pair-local merged batches
+    # (pack_pair_dataset_coo_pairlocal) have per-device pad gaps —
+    # stably compact them first (no-op for the standard packers)
+    real = batch.e_mask > 0
+    n_real = int(real.sum())
+    e_tile, e_type, e_src, e_dst = (
+        batch.e_tile, batch.e_type, batch.e_src, batch.e_dst)
+    if not real[:n_real].all():
+        order = np.argsort(~real, kind="stable")
+        e_tile, e_type, e_src, e_dst = (
+            e_tile[order], e_type[order], e_src[order], e_dst[order])
     e_packed = (
-        ((batch.e_tile << 2 | batch.e_type) << (2 * sbits))
-        | (batch.e_src << sbits)
-        | batch.e_dst
+        ((e_tile << 2 | e_type) << (2 * sbits))
+        | (e_src << sbits)
+        | e_dst
     ).astype(np.int32)
-    n_edges = np.int32(batch.num_edges)
+    n_edges = np.int32(n_real)
     return nodes, e_packed, n_edges, batch.left_index, batch.right_index
 
 

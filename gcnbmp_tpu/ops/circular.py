@@ -20,17 +20,53 @@ boundary; either way the op is dispatch-latency-bound at these sizes
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # measured crossover (v5e): time-domain matmul wins below this D
 MATMUL_MAX_D = 16
 
 
-def circular_correlation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """corr(a, b)[..., k] = sum_d a[..., d] * b[..., (d + k) % D]."""
+def _corr_raw(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     fa = jnp.fft.rfft(a.astype(jnp.float32), axis=-1)
     fb = jnp.fft.rfft(b.astype(jnp.float32), axis=-1)
     return jnp.fft.irfft(jnp.conj(fa) * fb, n=a.shape[-1], axis=-1)
+
+
+def _conv_raw(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Circular convolution conv(a, b)[..., j] = sum_k a[k] b[(j-k)%D]."""
+    fa = jnp.fft.rfft(a.astype(jnp.float32), axis=-1)
+    fb = jnp.fft.rfft(b.astype(jnp.float32), axis=-1)
+    return jnp.fft.irfft(fa * fb, n=a.shape[-1], axis=-1)
+
+
+@jax.custom_vjp
+def circular_correlation(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """corr(a, b)[..., k] = sum_d a[..., d] * b[..., (d + k) % D].
+
+    Ships a closed-form REAL-valued VJP: the adjoints of circular
+    correlation are themselves circular ops —
+    ``grad_a = corr(g, b)`` and ``grad_b = conv(g, a)`` — so the
+    backward never transposes an FFT (complex cotangents through
+    rfft/irfft break shard_map's varying-axis checking, and the
+    forward-mode-only FFTs here are also cheaper than AD's complex
+    intermediate chain)."""
+    return _corr_raw(a, b)
+
+
+def _corr_fwd(a, b):
+    return _corr_raw(a, b), (a, b)
+
+
+def _corr_bwd(res, g):
+    a, b = res
+    # corr(a,b)[k] = sum_d a[d] b[(d+k)];  dL/da[d] = sum_k g[k] b[(d+k)]
+    # = corr(g, b)[d];  dL/db[j] = sum_k g[k] a[(j-k)] = conv(g, a)[j]
+    return (_corr_raw(g, b).astype(a.dtype),
+            _conv_raw(g, a).astype(b.dtype))
+
+
+circular_correlation.defvjp(_corr_fwd, _corr_bwd)
 
 
 def circular_correlation_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

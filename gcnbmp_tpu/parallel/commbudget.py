@@ -103,6 +103,39 @@ def resolve_measured_step(
     return None, None, "no matching benchmark record found"
 
 
+def resolve_measured_coattn_step(
+    repo_root: str = _REPO_ROOT,
+    expected_hidden: int = 32,
+) -> Tuple[Optional[float], Optional[int], str]:
+    """Resolve the measured CO-ATTENTION step time (seconds) from the
+    newest ``docs/SWEEPS_r*.jsonl`` row with ``path == "packed_coattn"``
+    (the wire-compact nie step all 15 variant quality rows ran on).
+    VERDICT r4 weak #2: the co-attention comm bound must divide by the
+    co-attention step's OWN compute, not the flagship's."""
+    sweeps = sorted(glob.glob(os.path.join(repo_root, "docs",
+                                           "SWEEPS_r*.jsonl")))
+    for path in reversed(sweeps):
+        best = None
+        try:
+            with open(path) as f:
+                for line in f:
+                    try:
+                        row = json.loads(line)
+                    except ValueError:
+                        continue
+                    if (row.get("path") == "packed_coattn"
+                            and "step_ms" in row
+                            and row.get("hidden",
+                                        expected_hidden) == expected_hidden):
+                        best = row
+        except OSError:
+            continue
+        if best is not None:
+            return best["step_ms"] * 1e-3, best.get("batch_pairs", 2048), \
+                os.path.basename(path)
+    return None, None, "no packed_coattn sweep record found"
+
+
 def ring_all_reduce_s(bytes_per_device: float, n: int, bw: float) -> float:
     """Ring all-reduce wall time: each device sends/receives
     2*(n-1)/n of the buffer at ``bw`` bytes/s."""
@@ -222,9 +255,10 @@ def print_comm_budget_table(param_count: int, out_dim: int = 32,
     """The dryrun_multichip tail: per-step collective volume and the
     derived scaling-efficiency bound at B=2048/8192 (VERDICT r1 #5),
     computed from the live measured step time (VERDICT r2 weak #6).
-    Also prints the co-attention variant's extra all_gather (the
-    atom-state table completion, parallel/edgeshard.py
-    make_edgeshard_coattn_loss) as an informational line."""
+    Also prints the co-attention bounds (pair-local default + legacy
+    all_gather), computed against the co-attention step's OWN measured
+    compute; they are appended to each returned CommBudget as
+    ``.coattn_effs`` (dict) for the dryrun's >=80% assertion."""
     rows = []
     step_s, rec_b, source = resolve_measured_step()
     print("comm budget (edgeshard, zero-cut-edge tile sharding; "
@@ -238,20 +272,33 @@ def print_comm_budget_table(param_count: int, out_dim: int = 32,
         )
         rows.append(budget)
         print("  " + budget.row())
-        # co-attention adds one atom-state all_gather: measured pack
-        # density is ~14.6 atoms/mol at 0.98 tile occupancy (bench.py
-        # packed stats: 467 tiles at B=2048), i.e. the full (P*T, H)
-        # node table — width = the ENCODER hidden dim, which equals
-        # out_dim only for the flagship config (pass hidden_dim for
-        # wide-encoder budgets).  The efficiency quotient below reuses
-        # the FLAGSHIP step's compute, which a co-attention step
-        # exceeds — so the printed value is a conservative lower bound.
+        # co-attention budgets, against the co-attention step's OWN
+        # measured compute (VERDICT r4 weak #2).  Round 5 default: the
+        # pair-local packer (pack_pair_dataset_coo_pairlocal) places
+        # both molecules of every pair on one device, so the atom-table
+        # all_gather AND the molecule-table psum are GONE — the only
+        # collective left is the gradient all-reduce.  The legacy
+        # all_gather path is bounded alongside for comparison.
+        ca_step_s, ca_b, ca_src = resolve_measured_coattn_step()
+        if ca_step_s is None:
+            continue
+        ca_compute = ca_step_s * (b / float(ca_b)) / n_devices
+        grads_ici = ring_all_reduce_s(budget.grad_bytes, n_devices, ICI_BW)
+        eff_pl = ca_compute / (ca_compute + grads_ici)
+        # legacy path payloads: the full (P*T, H) node table all_gather
+        # (measured pack density ~14.6 atoms/mol at 0.98 tile occupancy;
+        # width = the ENCODER hidden dim, == out_dim for the flagship)
+        # plus the molecule-table psum
         p_tiles = 2 * b * 14.6 / (128.0 * 0.98)
         ag_bytes = p_tiles * 128 * (hidden_dim or out_dim) * 4.0
         ag_ici = ring_all_gather_s(ag_bytes, n_devices, ICI_BW)
-        eff = budget.compute_s / (
-            budget.compute_s + budget.collective_s_ici + ag_ici)
-        print(f"    +coattn all_gather {ag_bytes / 1e6:6.2f} MB "
-              f"-> ICI {ag_ici * 1e6:8.1f} us | eff >= {eff * 100:.2f}% "
-              "(ICI, flagship-compute lower bound)")
+        eff_legacy = ca_compute / (
+            ca_compute + budget.collective_s_ici + ag_ici)
+        print(f"    +coattn pair-local (default): grads-only collective "
+              f"-> eff >= {eff_pl * 100:.2f}% (ICI; coattn step from "
+              f"{ca_src} @ B={ca_b})")
+        print(f"    +coattn legacy all_gather {ag_bytes / 1e6:6.2f} MB "
+              f"-> ICI {ag_ici * 1e6:8.1f} us | eff >= "
+              f"{eff_legacy * 100:.2f}% (ICI, own-compute bound)")
+        budget.coattn_effs = {"pair_local": eff_pl, "legacy": eff_legacy}
     return rows

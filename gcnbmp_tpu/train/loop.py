@@ -438,7 +438,8 @@ def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
                               num_tiles: int, edge_capacity: int,
                               rng: np.random.Generator, supernode_fn=None,
                               pack_workers: int = 4,
-                              pack_cache: "list | None" = None):
+                              pack_cache: "list | None" = None,
+                              pairlocal_parts: "int | None" = None):
     """Shuffled COO packed batches with fixed tile/edge capacities.  Uses
     the native C++ packer (native/pack.cpp) when available — the Python
     packer costs ~200 ms/2048-pair batch vs ~7 ms device step — and falls
@@ -455,9 +456,19 @@ def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
     batch level after epoch 1 (partition shuffling), which removes the
     per-epoch host pack cost entirely.  Trade-off documented in
     TrainConfig.reuse_packs; quality validated at reference scale
-    (docs/QUALITY.md round-4 reuse-packs row)."""
+    (docs/QUALITY.md round-4 reuse-packs row).
+
+    ``pairlocal_parts`` (round 5, VERDICT r4 #2): pack each batch
+    device-locally for the pair-local co-attention edgeshard path
+    (pack_pair_dataset_coo_pairlocal over ``pairlocal_parts`` buckets,
+    per-part capacities ``num_tiles``/``edge_capacity`` — note these
+    then mean PER-PART, not global, sizes)."""
     from gcnbmp_tpu.data import native_pack
-    from gcnbmp_tpu.data.packing import attach_supers_coo, pack_pair_dataset_coo
+    from gcnbmp_tpu.data.packing import (
+        attach_supers_coo,
+        pack_pair_dataset_coo,
+        pack_pair_dataset_coo_pairlocal,
+    )
 
     if pack_cache:
         for i in rng.permutation(len(pack_cache)):
@@ -475,7 +486,16 @@ def packed_coo_batch_iterator(ds: PairDataset, batch_size: int,
 
     def build(start):
         idx = order[start:start + batch_size].tolist()
-        if cache is not None:
+        if pairlocal_parts:
+            pf = None
+            if cache is not None:
+                pf = lambda i2, nt, ec: native_pack.pack_pairs_native(
+                    cache, i2, num_tiles=nt, edge_capacity=ec)
+            batch, _ = pack_pair_dataset_coo_pairlocal(
+                ds, idx, pairlocal_parts, tiles_per_part=num_tiles,
+                edge_capacity_per_part=edge_capacity, pack_fn=pf,
+            )
+        elif cache is not None:
             batch = native_pack.pack_pairs_native(
                 cache, idx, num_tiles=num_tiles, edge_capacity=edge_capacity
             )
@@ -897,23 +917,53 @@ class Trainer:
                 elif cfg.attn is not None:
                     # n_max for the pair atom-slot tables, same bound
                     # the single-device co-attention path uses (set
-                    # below from the datasets); read lazily
+                    # below from the datasets); read lazily.
+                    # Round 5 (VERDICT r4 #2): pair-LOCAL packing is the
+                    # default — both molecules of every pair land on one
+                    # device, deleting the atom-table all_gather and the
+                    # molecule-table psum outright
+                    # (GCNBMP_COATTN_PAIRLOCAL=0 restores the legacy
+                    # all_gather path for A/Bs).
+                    self._coattn_pairlocal = (
+                        os.environ.get("GCNBMP_COATTN_PAIRLOCAL", "1")
+                        != "0")
                     loss_fn = make_edgeshard_coattn_loss(
                         packed_predictor, self._mesh, axis="graph",
                         elementwise_loss=elem_loss,
+                        pair_local=self._coattn_pairlocal,
                     )
-                    self._shard_batch = (
-                        lambda b: shard_packed_coattn_batch(
-                            b, self._mesh, axis="graph",
-                            n_max=self._coattn_n_max,
-                            edge_capacity_per_shard=cap(),
+                    if self._coattn_pairlocal:
+                        from gcnbmp_tpu.parallel.edgeshard import (
+                            pad_partition_coattn_pairlocal,
+                            shard_packed_coattn_batch_pairlocal,
                         )
-                    )
-                    self._partition_batch = (
-                        lambda b: pad_partition_coattn(
-                            b, n_dev, self._coattn_n_max,
-                            edge_capacity_per_shard=cap())
-                    )
+
+                        # self._pairlocal_meta is set with the per-part
+                        # capacities right after this dispatch block
+                        self._shard_batch = (
+                            lambda b: shard_packed_coattn_batch_pairlocal(
+                                b, self._pairlocal_meta, self._mesh,
+                                axis="graph", n_max=self._coattn_n_max,
+                            )
+                        )
+                        self._partition_batch = (
+                            lambda b: pad_partition_coattn_pairlocal(
+                                b, self._pairlocal_meta,
+                                self._coattn_n_max)
+                        )
+                    else:
+                        self._shard_batch = (
+                            lambda b: shard_packed_coattn_batch(
+                                b, self._mesh, axis="graph",
+                                n_max=self._coattn_n_max,
+                                edge_capacity_per_shard=cap(),
+                            )
+                        )
+                        self._partition_batch = (
+                            lambda b: pad_partition_coattn(
+                                b, n_dev, self._coattn_n_max,
+                                edge_capacity_per_shard=cap())
+                        )
                 else:
                     loss_fn = make_edgeshard_coo_loss(
                         packed_predictor, self._mesh, axis="graph",
@@ -1003,6 +1053,23 @@ class Trainer:
             self.num_tiles, self.edge_capacity = estimate_coo_capacities(
                 eval_datasets, cfg.batch_size
             )
+            self._pairlocal_meta = None
+            if getattr(self, "_coattn_pairlocal", False):
+                # per-PART static capacities for the pair-local packer:
+                # the worst bucket cannot exceed the worst
+                # pairs_per_part-pair batch (LPT keeps buckets at most
+                # that large), so the same worst-case estimator applies
+                # at bucket granularity
+                from gcnbmp_tpu.data.packing import PairLocalMeta
+
+                n_dev = len(jax.devices())
+                ppp = -(-cfg.batch_size // n_dev)
+                tpp, ecpp = estimate_coo_capacities(eval_datasets, ppp)
+                ecpp = ((ecpp + 127) // 128) * 128
+                self._pairlocal_meta = PairLocalMeta(
+                    n_parts=n_dev, tiles_per_part=tpp,
+                    pairs_per_part=ppp, edge_capacity_per_part=ecpp,
+                )
             if coo:
                 from gcnbmp_tpu.models.packed import (
                     compact_coattn_arrays,
@@ -1084,12 +1151,16 @@ class Trainer:
             epoch_edges = 0
             epoch_t0 = time.time()
             if coo:
+                plm = getattr(self, "_pairlocal_meta", None)
                 batches = packed_coo_batch_iterator(
-                    self.train_ds, cfg.batch_size, self.num_tiles,
-                    self.edge_capacity, self.np_rng,
+                    self.train_ds, cfg.batch_size,
+                    plm.tiles_per_part if plm else self.num_tiles,
+                    plm.edge_capacity_per_part if plm else self.edge_capacity,
+                    self.np_rng,
                     supernode_fn=self.supernode_fn,
                     pack_workers=cfg.pack_workers,
                     pack_cache=self._pack_cache,
+                    pairlocal_parts=plm.n_parts if plm else None,
                 )
                 if cfg.debug_checks:
                     batches = (b.validate() for b in batches)

