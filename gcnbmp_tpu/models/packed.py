@@ -303,6 +303,11 @@ class PackedNFPReadout(nn.Module):
 # (A/B via GCNBMP_SET2SET_DENSE=0); parity + training tests cover both.
 SET2SET_DENSE = os.environ.get("GCNBMP_SET2SET_DENSE", "1") == "1"
 
+# Fused Pallas Set2Set (round 5, VERDICT r4 #3): all processing steps
+# in one kernel over the dense atom table (ops/set2set_kernel.py).
+# Off by default until the hardware A/B lands; parity-tested both ways.
+SET2SET_PALLAS = os.environ.get("GCNBMP_SET2SET_PALLAS", "0") == "1"
+
 # Gather-only VJP for the slot-table atom gathers (round 4): the plain
 # jnp.take backward is a (rows, ch) scatter-add — TPU scatters are
 # row-serialized and were the slowest kernel class in PROFILE_r04.  The
@@ -364,6 +369,24 @@ class PackedSet2Set(nn.Module):
             else:
                 atoms = jnp.take(flat, slots.reshape(-1), axis=0).reshape(
                     num_mols, self.dense_n_max, ch) * amask[..., None]
+            if SET2SET_PALLAS and not self.is_initializing():
+                # round 5 (VERDICT r4 #3): all processing steps in ONE
+                # Pallas kernel (LSTM + masked softmax resident in
+                # VMEM); params read from the SAME flax lstm cell so
+                # checkpoints swap freely between paths
+                from gcnbmp_tpu.ops.set2set_kernel import fused_set2set
+
+                lp = cell.variables["params"]
+                wx = jnp.concatenate(
+                    [lp[f"i{c}"]["kernel"] for c in "ifgo"], axis=-1)
+                wh = jnp.concatenate(
+                    [lp[f"h{c}"]["kernel"] for c in "ifgo"], axis=-1)
+                bb = jnp.concatenate(
+                    [lp[f"h{c}"]["bias"] for c in "ifgo"], axis=-1
+                ).reshape(1, -1)
+                q_star = fused_set2set(
+                    self.processing_steps, atoms, amask, wx, wh, bb)
+                return jnp.where(overflow, jnp.nan, q_star)
             neg = jnp.asarray(-1e9, flat.dtype)
             for _ in range(self.processing_steps):
                 carry, q = cell(carry, q_star)       # (M, ch)

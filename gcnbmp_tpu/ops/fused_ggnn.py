@@ -60,6 +60,18 @@ import os as _os
 
 DEFAULT_BWD_BLOCK_TILES = int(_os.environ.get("GCNBMP_FUSED_BWD_K", "4"))
 
+# Round 5 (VERDICT r4 #1): TWO-PASS backward — split the reverse pass
+# into two half-depth kernels with an HBM handoff of the midpoint
+# activation (the forward emits h_mid = input of layer L/2 as a second
+# output; backward kernel 1 recomputes+reverses the top half from
+# h_mid, kernel 2 the bottom half from h0).  Each kernel's VMEM
+# scratch and unrolled reverse-instruction count HALVE, which is
+# exactly what bounded the round-3/4 K>=8 remote-compile failures —
+# letting the backward K block rise (fewer grid steps, wider
+# matmul batching).  Costs one extra P*T*H HBM write+read (~8 MB at
+# B=2048/h=32 — noise next to the 61 MB adjacency).
+TWOPASS = _os.environ.get("GCNBMP_FUSED_TWOPASS") == "1"
+
 
 # Merge the three x-side gate matmuls into one (KT, 2H) x (2H, 3H) pass
 # and the two state-side ones into (KT, H) x (H, 2H): fewer, wider MXU
@@ -252,20 +264,25 @@ def _bwd_kernel(n_layers, k_tiles, h0_ref, adj_ref, wmsg_ref, bmsg_ref,
 def _reverse_layers(n_layers, k_tiles, dh, h_scratch, adj, weights,
                     wmsg_ref, bmsg_ref, dwmsg_ref, dbmsg_ref,
                     dwz_ref, duz_ref, dbz_ref, dwr_ref, dur_ref, dbr_ref,
-                    dwn_ref, dun_ref, dbn_ref):
-    """The shared reverse pass over all layers (recompute + grads),
-    used by BOTH backward kernels (_bwd_kernel seeds dh from dh_final;
-    _bwd_readout_kernel seeds it from the readout backward).  ``dh``
-    in, final dh (the h0 gradient through the layer stack) out;
-    weight/bias grads accumulate into the d*_ref outputs."""
+                    dwn_ref, dun_ref, dbn_ref, lo=0):
+    """The shared reverse pass over layers [lo, n_layers) (recompute +
+    grads), used by ALL backward kernels (_bwd_kernel seeds dh from
+    dh_final; _bwd_readout_kernel from the readout backward; the
+    two-pass half kernels pass lo/n_layers as their half range and
+    seed/emit dh_mid at the boundary).  ``dh`` in, dh at the bottom of
+    the range out (for lo==0 that is the h0 gradient; for lo==split it
+    is dh_mid, INCLUDING the additive state path — layer lo's input is
+    also layer lo's GRU state, so its dstate folds into the handoff);
+    weight/bias grads accumulate into the d*_ref outputs.
+    ``h_scratch[i]`` holds the input of layer lo+i."""
     (wz_ref, uz_ref, bz_ref, wr_ref, ur_ref, br_ref,
      wn_ref, un_ref, bn_ref) = weights
     t = TILE
     kt = k_tiles * t
     hidden = dh.shape[-1]
-    for l in range(n_layers - 1, -1, -1):
-        h_in = h_scratch[l]
-        state = jnp.zeros_like(h_in) if l == 0 else h_scratch[l]
+    for l in range(n_layers - 1, lo - 1, -1):
+        h_in = h_scratch[l - lo]
+        state = jnp.zeros_like(h_in) if l == 0 else h_scratch[l - lo]
         _, (m, x, z, r, n) = _layer_fwd(
             k_tiles, h_in, state, adj, wmsg_ref[l], bmsg_ref[l], *weights
         )
@@ -351,6 +368,75 @@ def _reverse_layers(n_layers, k_tiles, dh, h_scratch, adj, weights,
     return dh
 
 
+def _fwd_mid_kernel(n_layers, split, k_tiles, h0_ref, adj_ref, wmsg_ref,
+                    bmsg_ref, wz_ref, uz_ref, bz_ref, wr_ref, ur_ref, br_ref,
+                    wn_ref, un_ref, bn_ref, out_ref, mid_ref):
+    """Forward emitting BOTH h_final and h_mid (the input of layer
+    ``split``) — the two-pass backward's HBM handoff residual."""
+    kt = k_tiles * TILE
+    h = h0_ref[...].reshape(kt, h0_ref.shape[-1])
+    state = jnp.zeros_like(h)
+    adj = adj_ref[...].astype(jnp.float32)
+    for l in range(n_layers):
+        if l == split:
+            mid_ref[...] = h.reshape(mid_ref.shape)
+        h, _ = _layer_fwd(
+            k_tiles, h, state, adj, wmsg_ref[l], bmsg_ref[l],
+            wz_ref[:], uz_ref[:], bz_ref[:],
+            wr_ref[:], ur_ref[:], br_ref[:],
+            wn_ref[:], un_ref[:], bn_ref[:],
+        )
+        state = h
+    out_ref[...] = h.reshape(out_ref.shape)
+
+
+def _bwd_half_kernel(lo, hi, k_tiles, hin_ref, adj_ref, wmsg_ref, bmsg_ref,
+                     wz_ref, uz_ref, bz_ref, wr_ref, ur_ref, br_ref,
+                     wn_ref, un_ref, bn_ref, dh_top_ref,
+                     dh_bot_ref, dwmsg_ref, dbmsg_ref,
+                     dwz_ref, duz_ref, dbz_ref, dwr_ref, dur_ref, dbr_ref,
+                     dwn_ref, dun_ref, dbn_ref,
+                     h_scratch):
+    """Backward over layers [lo, hi): recompute forward from
+    ``hin_ref`` (h0 for the bottom half, h_mid for the top half),
+    reverse from ``dh_top_ref`` (dh_final or dh_mid), emit
+    ``dh_bot_ref`` (dh_mid or dh0).  Weight grads accumulate across
+    grid steps for the half's layers only (zeros elsewhere)."""
+    p = pl.program_id(0)
+
+    @pl.when(p == 0)
+    def _init():
+        for ref in (dwmsg_ref, dbmsg_ref, dwz_ref, duz_ref, dbz_ref,
+                    dwr_ref, dur_ref, dbr_ref, dwn_ref, dun_ref, dbn_ref):
+            ref[...] = jnp.zeros(ref.shape, jnp.float32)
+
+    t = TILE
+    kt = k_tiles * t
+    hidden = hin_ref.shape[-1]
+    adj = adj_ref[...].astype(jnp.float32)
+    weights = (wz_ref[:], uz_ref[:], bz_ref[:], wr_ref[:], ur_ref[:],
+               br_ref[:], wn_ref[:], un_ref[:], bn_ref[:])
+
+    h = hin_ref[...].reshape(kt, hidden)
+    # layer lo's GRU state: zeros at lo == 0, else its own input (the
+    # previous layer's output IS this h for the packed stack)
+    state = jnp.zeros_like(h) if lo == 0 else h
+    for l in range(lo, hi):
+        h_scratch[l - lo] = h
+        h, _ = _layer_fwd(k_tiles, h, state, adj, wmsg_ref[l], bmsg_ref[l],
+                          *weights)
+        state = h
+
+    dh = dh_top_ref[...].reshape(kt, hidden)
+    dh = _reverse_layers(
+        hi, k_tiles, dh, h_scratch, adj, weights,
+        wmsg_ref, bmsg_ref, dwmsg_ref, dbmsg_ref,
+        dwz_ref, duz_ref, dbz_ref, dwr_ref, dur_ref, dbr_ref,
+        dwn_ref, dun_ref, dbn_ref, lo=lo,
+    )
+    dh_bot_ref[...] = dh.reshape(dh_bot_ref.shape)
+
+
 def _weight_args(msg_w, msg_b, gru):
     # msg_w: (L, 4, H, H); msg_b -> (L, 4, 1, H)
     msg_b2 = msg_b.reshape(msg_b.shape[0], msg_b.shape[1], 1, msg_b.shape[2])
@@ -431,20 +517,36 @@ def _fused_ggnn_fwd(n_layers, h0, adj, msg_w, msg_b, gru,
     adjp = _prep_adj(adj, k)
     h0p = _pad_tiles(h0, k)
     pp = h0p.shape[0]
+    block = pl.BlockSpec((k, t, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    if TWOPASS and n_layers > 1:
+        split = n_layers // 2
+        out, mid = pl.pallas_call(
+            functools.partial(_fwd_mid_kernel, n_layers, split, k),
+            out_shape=(jax.ShapeDtypeStruct((pp, t, h), jnp.float32),
+                       jax.ShapeDtypeStruct((pp, t, h), jnp.float32)),
+            grid=(pp // k,),
+            in_specs=_specs(k, t, h, args),
+            out_specs=(block, block),
+        )(h0p, adjp, *args)
+        return out[:p], (h0, adj, msg_w, msg_b, gru, mid[:p])
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, n_layers, k),
         out_shape=jax.ShapeDtypeStruct((pp, t, h), jnp.float32),
         grid=(pp // k,),
         in_specs=_specs(k, t, h, args),
-        out_specs=pl.BlockSpec((k, t, h), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=block,
     )(h0p, adjp, *args)
-    return out[:p], (h0, adj, msg_w, msg_b, gru)
+    return out[:p], (h0, adj, msg_w, msg_b, gru, None)
 
 
 def _fused_ggnn_bwd(n_layers, residuals, dh_final,
                     block_tiles=None):
-    h0, adj, msg_w, msg_b, gru = residuals
+    h0, adj, msg_w, msg_b, gru, h_mid = residuals
+    if h_mid is not None:
+        return _fused_ggnn_bwd_twopass(
+            n_layers, h0, adj, msg_w, msg_b, gru, h_mid, dh_final,
+            block_tiles)
     p, t, h = h0.shape
     k = min(block_tiles or DEFAULT_BWD_BLOCK_TILES, p)
     args = _weight_args(msg_w, msg_b, gru)
@@ -491,6 +593,75 @@ def _fused_ggnn_bwd(n_layers, residuals, dh_final,
         "wn": dwn, "un": dun, "bn": dbn.reshape(-1),
     }
     return (dh0[:p], None, dmsg_w, dmsg_b.reshape(msg_b.shape), dgru)
+
+
+def _half_bwd_call(lo, hi, n_layers, k, pp, t, h, args, msg_w, msg_b,
+                   hin_p, adjp, dh_top_p):
+    """One half-depth backward pallas_call over layers [lo, hi)."""
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    msg_b4 = (msg_b.shape[0], msg_b.shape[1], 1, msg_b.shape[2])
+    out_shapes = (
+        jax.ShapeDtypeStruct((pp, t, h), jnp.float32),      # dh_bot
+        jax.ShapeDtypeStruct(msg_w.shape, jnp.float32),
+        jax.ShapeDtypeStruct(msg_b4, jnp.float32),
+        jax.ShapeDtypeStruct((2 * h, h), jnp.float32),
+        jax.ShapeDtypeStruct((h, h), jnp.float32),
+        jax.ShapeDtypeStruct((1, h), jnp.float32),
+        jax.ShapeDtypeStruct((2 * h, h), jnp.float32),
+        jax.ShapeDtypeStruct((h, h), jnp.float32),
+        jax.ShapeDtypeStruct((1, h), jnp.float32),
+        jax.ShapeDtypeStruct((2 * h, h), jnp.float32),
+        jax.ShapeDtypeStruct((h, h), jnp.float32),
+        jax.ShapeDtypeStruct((1, h), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((k, t, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        full(msg_w.shape), full(msg_b4),
+        full((2 * h, h)), full((h, h)), full((1, h)),
+        full((2 * h, h)), full((h, h)), full((1, h)),
+        full((2 * h, h)), full((h, h)), full((1, h)),
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_half_kernel, lo, hi, k),
+        out_shape=out_shapes,
+        grid=(pp // k,),
+        in_specs=_specs(k, t, h, args, dh=True),
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((hi - lo, k * t, h), jnp.float32)],
+    )(hin_p, adjp, *args, dh_top_p)
+
+
+def _fused_ggnn_bwd_twopass(n_layers, h0, adj, msg_w, msg_b, gru, h_mid,
+                            dh_final, block_tiles=None):
+    """Two-pass backward (VERDICT r4 #1): top half [split, L) from the
+    forward's h_mid residual, HBM handoff of dh_mid, bottom half
+    [0, split) from h0.  Each kernel's VMEM scratch and unrolled
+    reverse body halve, so the K block can exceed the single-kernel
+    compile ceiling (GCNBMP_FUSED_BWD_K)."""
+    p, t, h = h0.shape
+    split = n_layers // 2
+    k = min(block_tiles or DEFAULT_BWD_BLOCK_TILES, p)
+    args = _weight_args(msg_w, msg_b, gru)
+    adjp = _prep_adj(adj, k)
+    pp = _pad_tiles(h0, k).shape[0]
+
+    top = _half_bwd_call(split, n_layers, n_layers, k, pp, t, h, args,
+                         msg_w, msg_b, _pad_tiles(h_mid, k), adjp,
+                         _pad_tiles(dh_final, k))
+    dh_mid = top[0]
+    bot = _half_bwd_call(0, split, n_layers, k, pp, t, h, args,
+                         msg_w, msg_b, _pad_tiles(h0, k), adjp, dh_mid)
+
+    dh0 = bot[0][:p]
+    dmsg_w = top[1] + bot[1]
+    dmsg_b = (top[2] + bot[2]).reshape(msg_b.shape)
+    names = ("wz", "uz", "bz", "wr", "ur", "br", "wn", "un", "bn")
+    dgru = {}
+    for i, name in enumerate(names):
+        g = top[3 + i] + bot[3 + i]
+        dgru[name] = g.reshape(-1) if name.startswith("b") else g
+    return (dh0, None, dmsg_w, dmsg_b, dgru)
 
 
 fused_ggnn.defvjp(_fused_ggnn_fwd, _fused_ggnn_bwd)

@@ -246,7 +246,8 @@ def run_circ(name="circ"):
     emit({"config": name, "path": "circ_microbench", "batch": b, **rows})
 
 
-def run_fused(name, hidden, bwd_k=None, kbatch=None, fused_ro=None):
+def run_fused(name, hidden, bwd_k=None, kbatch=None, fused_ro=None,
+              twopass=None):
     from gcnbmp_tpu.models import packed as packed_mod
     from gcnbmp_tpu.ops import fused_ggnn
 
@@ -255,12 +256,15 @@ def run_fused(name, hidden, bwd_k=None, kbatch=None, fused_ro=None):
     saved = fused_ggnn.DEFAULT_BWD_BLOCK_TILES
     saved_kb = fused_ggnn.AGG_KBATCH
     saved_ro = packed_mod.FUSED_READOUT
+    saved_tp = fused_ggnn.TWOPASS
     if bwd_k is not None:
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = bwd_k
     if kbatch is not None:
         fused_ggnn.AGG_KBATCH = kbatch
     if fused_ro is not None:
         packed_mod.FUSED_READOUT = fused_ro
+    if twopass is not None:
+        fused_ggnn.TWOPASS = twopass
     device = jax.devices()[0]
     try:
         eps, dt, edges = bench.measure_fused(device, bench.ITERS)
@@ -268,11 +272,13 @@ def run_fused(name, hidden, bwd_k=None, kbatch=None, fused_ro=None):
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = saved
         fused_ggnn.AGG_KBATCH = saved_kb
         packed_mod.FUSED_READOUT = saved_ro
+        fused_ggnn.TWOPASS = saved_tp
     emit({
         "config": name, "path": "fused", "hidden": hidden,
         "bwd_k": bwd_k or saved,
         "kbatch": kbatch if kbatch is not None else saved_kb,
         "fused_readout": (fused_ro if fused_ro is not None else saved_ro),
+        "twopass": twopass if twopass is not None else saved_tp,
         "dtype": "bf16" if fused_ggnn.MATMUL_BF16 else "f32",
         "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
     })
@@ -293,7 +299,7 @@ def run_coo_scan(name, hidden, dtype=None):
 
 
 def run_fused_coo_scan(name, hidden, bwd_k=None, kbatch=None,
-                       fused_ro=None):
+                       fused_ro=None, twopass=None):
     """The fused+COO+scan production config (round 3): wire-compact
     batches stacked in HBM, one lax.scan dispatch, adjacency
     scatter-built per step in the kernel's flat layout, message/GRU
@@ -320,12 +326,15 @@ def run_fused_coo_scan(name, hidden, bwd_k=None, kbatch=None,
     saved = fused_ggnn.DEFAULT_BWD_BLOCK_TILES
     saved_kb = fused_ggnn.AGG_KBATCH
     saved_ro = packed_mod.FUSED_READOUT
+    saved_tp = fused_ggnn.TWOPASS
     if bwd_k is not None:
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = bwd_k
     if kbatch is not None:
         fused_ggnn.AGG_KBATCH = kbatch
     if fused_ro is not None:
         packed_mod.FUSED_READOUT = fused_ro
+    if twopass is not None:
+        fused_ggnn.TWOPASS = twopass
     device = jax.devices()[0]
     try:
         ds = bench.build_dataset()
@@ -372,6 +381,7 @@ def run_fused_coo_scan(name, hidden, bwd_k=None, kbatch=None,
         fused_ggnn.DEFAULT_BWD_BLOCK_TILES = saved
         fused_ggnn.AGG_KBATCH = saved_kb
         packed_mod.FUSED_READOUT = saved_ro
+        fused_ggnn.TWOPASS = saved_tp
     edges = float(np.mean([b.num_edges for b in chunks]))
     emit({
         "config": name, "path": "fused_coo_scan", "hidden": hidden,
@@ -828,10 +838,46 @@ CONFIGS = {
     "fused_coo_scan64_ro": lambda: run_fused_coo_scan(
         "fused_coo_scan64_ro", 64, fused_ro=True),
     "circ": run_circ,
+    # round-5 two-pass backward (VERDICT r4 #1): half-depth backward
+    # kernels + HBM h_mid handoff; K sweep past the single-kernel
+    # compile ceiling
+    "fused_coo_scan32_2p_k4": lambda: run_fused_coo_scan(
+        "fused_coo_scan32_2p_k4", 32, bwd_k=4, twopass=True),
+    "fused_coo_scan32_2p_k8": lambda: run_fused_coo_scan(
+        "fused_coo_scan32_2p_k8", 32, bwd_k=8, twopass=True),
+    "fused_coo_scan32_2p_k16": lambda: run_fused_coo_scan(
+        "fused_coo_scan32_2p_k16", 32, bwd_k=16, twopass=True),
+    "fused_coo_scan64_2p_k4": lambda: run_fused_coo_scan(
+        "fused_coo_scan64_2p_k4", 64, bwd_k=4, twopass=True),
+    "fused_coo_scan64_2p_k8": lambda: run_fused_coo_scan(
+        "fused_coo_scan64_2p_k8", 64, bwd_k=8, twopass=True),
+    "fused_coo_scan64_2p_k16": lambda: run_fused_coo_scan(
+        "fused_coo_scan64_2p_k16", 64, bwd_k=16, twopass=True),
+    "fused_coo_scan128_2p_k8": lambda: run_fused_coo_scan(
+        "fused_coo_scan128_2p_k8", 128, bwd_k=8, twopass=True),
+    "fused32_2p_k4": lambda: run_fused("fused32_2p_k4", 32, bwd_k=4,
+                                       twopass=True),
+    "fused32_2p_k8": lambda: run_fused("fused32_2p_k8", 32, bwd_k=8,
+                                       twopass=True),
+    "fused32_2p_k16": lambda: run_fused("fused32_2p_k16", 32, bwd_k=16,
+                                        twopass=True),
+    "fused64_2p_k8": lambda: run_fused("fused64_2p_k8", 64, bwd_k=8,
+                                       twopass=True),
+    "fused64_2p_k16": lambda: run_fused("fused64_2p_k16", 64, bwd_k=16,
+                                        twopass=True),
+    "fused128_2p_k8": lambda: run_fused("fused128_2p_k8", 128, bwd_k=8,
+                                        twopass=True),
     # round-5: single-chip co-attention step re-measure (VERDICT r4 #2
     # done-bar: the nie step must not regress from 7.64 ms after the
     # pair-local refactor + the real-valued circular-correlation VJP)
     "coattn_r5": lambda: _run_coattn_r5(),
+    "mpnn_s2s_pallas_ab": lambda: run_mpnn_s2s_pallas_ab(),
+    "fused_coo_scan64_2p_k4": lambda: run_fused_coo_scan(
+        "fused_coo_scan64_2p_k4", 64, bwd_k=4, twopass=True),
+    "infer_coattn_xla": lambda: run_infer_coattn(
+        "infer_coattn_xla", "nie"),
+    "infer_coattn_vqa_xla": lambda: run_infer_coattn(
+        "infer_coattn_vqa_xla", "vqa"),
     "infer32": lambda: run_infer("infer32", 32, None),
     "infer_bf16_32": lambda: run_infer("infer_bf16_32", 32, jnp.bfloat16),
     "infer_fused32_ro": lambda: run_infer_fused("infer_fused32_ro", 32,
@@ -841,6 +887,89 @@ CONFIGS = {
 
 DEFAULT = ["packed32", "bf16_32", "packed64", "bf16_64", "packed128",
            "bf16_128", "scan32", "scan_bf16_32"]
+
+
+def run_infer_coattn(name, attn="nie"):
+    """Forward-only (serving) co-attention throughput at B=2048.
+
+    Round 5 (VERDICT r4 #4): the fused affinity kernel that used to be
+    A/B'd here MEASURED SLOWER than the XLA einsum path (4.65 vs
+    4.03 ms nie, 4.77 vs 4.02 ms vqa — SWEEPS_r05 infer_coattn rows)
+    and was deleted; XLA's fusion of the (B, Nq, Nk) einsum chain is
+    already optimal at these shapes."""
+    import numpy as np
+
+    from gcnbmp_tpu.data.packing import (
+        max_atoms_lane_rounded,
+        pack_pair_dataset_coo,
+    )
+    from gcnbmp_tpu.models.packed import (
+        compact_coattn_arrays,
+        make_packed_predictor,
+    )
+
+    bench.HIDDEN = 32
+    device = jax.devices()[0]
+    ds = bench.build_dataset()
+    b = pack_pair_dataset_coo(ds, list(range(bench.BATCH)))
+    n_max = max_atoms_lane_rounded([ds])
+    args = tuple(jax.device_put(jnp.asarray(a), device)
+                 for a in compact_coattn_arrays(b, n_max))
+    predictor = make_packed_predictor(
+        fp_hidden_dim=32, fp_out_dim=32, conv_layers=bench.LAYERS,
+        weight_tying=False, sim_method="hole", attn=attn,
+        compute_dtype=jnp.bfloat16,
+    )
+    params = jax.device_put(
+        predictor.init(jax.random.PRNGKey(0), *args)["params"], device)
+
+    @jax.jit
+    def fwd(p, noise):
+        p2 = jax.tree.map(lambda x: x * (1.0 + noise), p)
+        return predictor.apply({"params": p2}, *args)
+
+    out = fwd(params, jnp.float32(0.0))
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    n = 50
+    for i in range(n):
+        out = fwd(params, jnp.float32(i * 1e-9))
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / n
+    emit({
+        "config": name, "path": "infer_coattn", "attn": attn,
+        "hidden": 32,
+        "batch_pairs": bench.BATCH,
+        "step_ms": round(dt * 1e3, 3),
+        "pairs_per_s": round(bench.BATCH / dt),
+    })
+
+
+def run_mpnn_s2s_pallas_ab(name="mpnn_s2s_pallas"):
+    """MPNN step with the fused Pallas Set2Set kernel
+    (ops/set2set_kernel.py) vs the XLA dense Set2Set (VERDICT r4 #3:
+    target <=15 ms at B=2048, else a recorded negative)."""
+    from gcnbmp_tpu.models import packed as packed_mod
+
+    device = jax.devices()[0]
+    bench.HIDDEN = 32
+    saved_dtype = bench.COMPUTE_DTYPE
+    saved = packed_mod.SET2SET_PALLAS
+    try:
+        bench.COMPUTE_DTYPE = jnp.bfloat16
+        for label, flag in (("xla", False), ("pallas", True)):
+            packed_mod.SET2SET_PALLAS = flag
+            eps, dt, _ = bench.measure_packed_method(device, bench.ITERS,
+                                                     "mpnn")
+            emit({
+                "config": f"{name}_{label}", "path": "packed_mpnn",
+                "set2set": label, "hidden": 32, "dtype": "bf16",
+                "batch_pairs": bench.BATCH,
+                "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+            })
+    finally:
+        packed_mod.SET2SET_PALLAS = saved
+        bench.COMPUTE_DTYPE = saved_dtype
 
 
 def _run_coattn_r5():

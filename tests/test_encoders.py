@@ -248,3 +248,72 @@ def test_set2set_dense_matches_segment():
     g_dense = jax.grad(lambda hh: jnp.sum(run(True, hh) ** 2))(h)
     np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_seg),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_set2set_pallas_matches_dense():
+    """Round 5 (VERDICT r4 #3): the fused Pallas Set2Set kernel
+    (ops/set2set_kernel.py — all processing steps + LSTM + masked
+    softmax in one kernel, closed-form VJP) reproduces the dense path's
+    outputs AND gradients (h + lstm params) from identical weights."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gcnbmp_tpu.chem import GGNNFeaturizer, mol_from_smiles
+    from gcnbmp_tpu.data.dataset import PairDataset
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models import packed as packed_mod
+    from gcnbmp_tpu.models.packed import PackedSet2Set
+
+    rng = np.random.default_rng(3)
+    f = GGNNFeaturizer()
+    ds = PairDataset()
+    smis = ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "C=O",
+            "Cn1cnc2c1c(=O)n(C)c(=O)n2C"]
+    for _ in range(6):
+        ds.append(f(mol_from_smiles(smis[int(rng.integers(5))])),
+                  f(mol_from_smiles(smis[int(rng.integers(5))])),
+                  np.float32(rng.integers(0, 2)))
+    packed = pack_pair_dataset_batch(ds, list(range(6)))
+    num_mols = 12
+    h = jnp.asarray(rng.normal(size=packed.atom_ids.shape + (16,))
+                    .astype(np.float32))
+    h = h * jnp.asarray(packed.node_mask)[..., None]
+    mol_id = jnp.asarray(packed.mol_id)
+    mask = jnp.asarray(packed.node_mask)
+    mod = PackedSet2Set(16, 3, name="s2s")
+    variables = mod.init(jax.random.PRNGKey(0), h, mol_id, mask, num_mols)
+
+    def run(pallas, params, hh):
+        saved_d = packed_mod.SET2SET_DENSE
+        saved_p = packed_mod.SET2SET_PALLAS
+        packed_mod.SET2SET_DENSE = True
+        packed_mod.SET2SET_PALLAS = pallas
+        try:
+            return mod.apply({"params": params}, hh, mol_id, mask, num_mols)
+        finally:
+            packed_mod.SET2SET_DENSE = saved_d
+            packed_mod.SET2SET_PALLAS = saved_p
+
+    p0 = variables["params"]
+    out_dense = run(False, p0, h)
+    with pltpu.force_tpu_interpret_mode():
+        out_pallas = run(True, p0, h)
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_dense),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(params, hh, pallas):
+        return jnp.sum(run(pallas, params, hh) ** 2)
+
+    gp_d, gh_d = jax.grad(loss, argnums=(0, 1))(p0, h, False)
+    with pltpu.force_tpu_interpret_mode():
+        gp_p, gh_p = jax.grad(loss, argnums=(0, 1))(p0, h, True)
+    np.testing.assert_allclose(np.asarray(gh_p), np.asarray(gh_d),
+                               rtol=1e-4, atol=1e-6)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gp_d),
+        jax.tree_util.tree_leaves_with_path(gp_p),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(ka),
+        )
