@@ -305,8 +305,20 @@ SET2SET_DENSE = os.environ.get("GCNBMP_SET2SET_DENSE", "1") == "1"
 
 # Fused Pallas Set2Set (round 5, VERDICT r4 #3): all processing steps
 # in one kernel over the dense atom table (ops/set2set_kernel.py).
-# Off by default until the hardware A/B lands; parity-tested both ways.
-SET2SET_PALLAS = os.environ.get("GCNBMP_SET2SET_PALLAS", "0") == "1"
+# Measured +2.7% on the MPNN step (16.454 vs 16.892 ms, SWEEPS_r05
+# mpnn_s2s_pallas rows), VJP-parity-tested against the dense path.
+# "auto" (default) enables it on accelerator backends and keeps the
+# XLA dense path on CPU (Pallas needs interpret mode there); 1/0 force.
+_S2SP_ENV = os.environ.get("GCNBMP_SET2SET_PALLAS", "auto")
+SET2SET_PALLAS = None if _S2SP_ENV == "auto" else _S2SP_ENV == "1"
+
+
+def _set2set_pallas_enabled() -> bool:
+    if SET2SET_PALLAS is not None:
+        return SET2SET_PALLAS
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 # Gather-only VJP for the slot-table atom gathers (round 4): the plain
 # jnp.take backward is a (rows, ch) scatter-add — TPU scatters are
@@ -369,7 +381,7 @@ class PackedSet2Set(nn.Module):
             else:
                 atoms = jnp.take(flat, slots.reshape(-1), axis=0).reshape(
                     num_mols, self.dense_n_max, ch) * amask[..., None]
-            if SET2SET_PALLAS and not self.is_initializing():
+            if _set2set_pallas_enabled() and not self.is_initializing():
                 # round 5 (VERDICT r4 #3): all processing steps in ONE
                 # Pallas kernel (LSTM + masked softmax resident in
                 # VMEM); params read from the SAME flax lstm cell so
