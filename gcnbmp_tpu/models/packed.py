@@ -499,6 +499,16 @@ EDGENET_FLAT = True
 EDGENET_AGGFIRST = (
     os.environ.get("GCNBMP_EDGENET_MODE", "flat") == "aggfirst"
 )
+# Round 5: contraction-side transposes.  The flat form materializes
+# ``both`` (P, 2T, 4T) — TWICE the adjacency — solely so each layer is
+# one matmul; but the MXU consumes either operand orientation natively,
+# so both directed aggregations can be dot_generals straight on the
+# raw (P, 4, T, T) adjacency (out: contract (e, j); in: contract
+# (e, i)) with ZERO transposed copies and HALF the per-layer adjacency
+# bytes.  A/B via GCNBMP_EDGENET_MODE=dotgen.
+EDGENET_DOTGEN = (
+    os.environ.get("GCNBMP_EDGENET_MODE", "flat") == "dotgen"
+)
 
 
 class PackedEdgeNet(nn.Module):
@@ -567,6 +577,23 @@ class PackedEdgeNet(nn.Module):
             "tcd,pjd->ptjc", cast(m_types - m0), cast(h),
             preferred_element_type=jnp.float32,
         )  # (P, 4, T, ch)
+
+        if EDGENET_DOTGEN:
+            adjc = cast(adj) if both is None else both  # PackedMPNN
+            # hoists the bf16 cast via the ``both`` slot (raw layout)
+            out = jax.lax.dot_general(
+                adjc, cast(hm),
+                dimension_numbers=(((1, 3), (1, 2)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (P, T_i, ch): sum_{e,j} adj[p,e,i,j] hm[p,e,j,c]
+            inn = jax.lax.dot_general(
+                adjc, cast(hm),
+                dimension_numbers=(((1, 2), (1, 2)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (P, T_j, ch): sum_{e,i} adj[p,e,i,j] hm[p,e,i,c]
+            return jnp.concatenate(
+                [out + bg_nodes, inn + bg_nodes], axis=-1
+            )
 
         if not EDGENET_FLAT:  # round-2 form, kept for A/B sweeps
             def directed(a):
@@ -679,11 +706,17 @@ class PackedMPNN(nn.Module):
             build_edgenet_adj_cat(adj)
             if self.message_func == "edgenet" and EDGENET_AGGFIRST else None
         )
-        both = (
-            build_edgenet_both(adj, self.compute_dtype)
-            if self.message_func == "edgenet" and not EDGENET_AGGFIRST
-            and EDGENET_FLAT else None
-        )
+        if self.message_func == "edgenet" and EDGENET_DOTGEN:
+            # dotgen mode reuses the ``both`` slot for the hoisted
+            # bf16 cast of the RAW adjacency (no stacked copy at all)
+            both = (adj.astype(self.compute_dtype)
+                    if self.compute_dtype is not None else adj)
+        else:
+            both = (
+                build_edgenet_both(adj, self.compute_dtype)
+                if self.message_func == "edgenet" and not EDGENET_AGGFIRST
+                and EDGENET_FLAT else None
+            )
         for step in range(self.n_layers):
             k = 0 if self.weight_tying else step
             if self.message_func == "edgenet":

@@ -872,6 +872,7 @@ CONFIGS = {
     # pair-local refactor + the real-valued circular-correlation VJP)
     "coattn_r5": lambda: _run_coattn_r5(),
     "mpnn_s2s_pallas_ab": lambda: run_mpnn_s2s_pallas_ab(),
+    "mpnn_dotgen_ab": lambda: run_mpnn_dotgen_ab(),
     "fused_coo_scan64_2p_k4": lambda: run_fused_coo_scan(
         "fused_coo_scan64_2p_k4", 64, bwd_k=4, twopass=True),
     "infer_coattn_xla": lambda: run_infer_coattn(
@@ -969,6 +970,33 @@ def run_mpnn_s2s_pallas_ab(name="mpnn_s2s_pallas"):
             })
     finally:
         packed_mod.SET2SET_PALLAS = saved
+        bench.COMPUTE_DTYPE = saved_dtype
+
+
+def run_mpnn_dotgen_ab(name="mpnn_dotgen"):
+    """EdgeNet dotgen A/B (round 5): both directed aggregations as
+    dot_generals on the RAW (P,4,T,T) adjacency — no (P,2T,4T) ``both``
+    copy, HALF the per-layer adjacency bytes — vs the r4 flat form."""
+    from gcnbmp_tpu.models import packed as packed_mod
+
+    device = jax.devices()[0]
+    bench.HIDDEN = 32
+    saved_dtype = bench.COMPUTE_DTYPE
+    saved = packed_mod.EDGENET_DOTGEN
+    try:
+        bench.COMPUTE_DTYPE = jnp.bfloat16
+        for label, flag in (("flat", False), ("dotgen", True)):
+            packed_mod.EDGENET_DOTGEN = flag
+            eps, dt, _ = bench.measure_packed_method(device, bench.ITERS,
+                                                     "mpnn")
+            emit({
+                "config": f"{name}_{label}", "path": "packed_mpnn",
+                "edgenet": label, "hidden": 32, "dtype": "bf16",
+                "batch_pairs": bench.BATCH,
+                "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+            })
+    finally:
+        packed_mod.EDGENET_DOTGEN = saved
         bench.COMPUTE_DTYPE = saved_dtype
 
 

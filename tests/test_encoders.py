@@ -317,3 +317,55 @@ def test_set2set_pallas_matches_dense():
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
             err_msg=jax.tree_util.keystr(ka),
         )
+
+
+def test_edgenet_dotgen_matches_flat():
+    """Round 5: the contraction-side-transpose EdgeNet (dotgen mode —
+    two dot_generals on the RAW adjacency, no (P, 2T, 4T) ``both``
+    copy) reproduces the flat form's outputs and gradients through a
+    full PackedMPNN forward."""
+    import numpy as np
+    from gcnbmp_tpu.chem import GGNNFeaturizer, mol_from_smiles
+    from gcnbmp_tpu.data.dataset import PairDataset
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models import packed as packed_mod
+    from gcnbmp_tpu.models.packed import PackedMPNN
+
+    rng = np.random.default_rng(1)
+    f = GGNNFeaturizer()
+    ds = PairDataset()
+    smis = ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "C=O", "CCN"]
+    for _ in range(5):
+        ds.append(f(mol_from_smiles(smis[int(rng.integers(5))])),
+                  f(mol_from_smiles(smis[int(rng.integers(5))])),
+                  np.float32(rng.integers(0, 2)))
+    b = pack_pair_dataset_batch(ds, list(range(5)))
+    mod = PackedMPNN(out_dim=8, hidden_dim=8, n_layers=2, s2s_n_max=32)
+    args = (jnp.asarray(b.atom_ids), jnp.asarray(b.adj),
+            jnp.asarray(b.mol_id), jnp.asarray(b.node_mask), b.num_mols)
+    variables = mod.init(jax.random.PRNGKey(0), *args)
+
+    def run(dotgen, params):
+        saved = packed_mod.EDGENET_DOTGEN
+        packed_mod.EDGENET_DOTGEN = dotgen
+        try:
+            g, _ = mod.apply({"params": params}, *args)
+            return g
+        finally:
+            packed_mod.EDGENET_DOTGEN = saved
+
+    p0 = variables["params"]
+    g_flat = run(False, p0)
+    g_dot = run(True, p0)
+    np.testing.assert_allclose(np.asarray(g_dot), np.asarray(g_flat),
+                               rtol=1e-5, atol=1e-5)
+    gr_flat = jax.grad(lambda p: jnp.sum(run(False, p)[0] ** 2))(p0)
+    gr_dot = jax.grad(lambda p: jnp.sum(run(True, p)[0] ** 2))(p0)
+    for (ka, a), (kb, bb) in zip(
+        jax.tree_util.tree_leaves_with_path(gr_flat),
+        jax.tree_util.tree_leaves_with_path(gr_dot),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(ka),
+        )
