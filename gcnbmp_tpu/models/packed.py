@@ -497,7 +497,7 @@ EDGENET_FLAT = True
 # XLA already CSEs the per-layer transposes) — kept OFF by default as
 # a measured dead end; A/B via GCNBMP_EDGENET_MODE=aggfirst.
 EDGENET_AGGFIRST = (
-    os.environ.get("GCNBMP_EDGENET_MODE", "flat") == "aggfirst"
+    os.environ.get("GCNBMP_EDGENET_MODE", "dotgen") == "aggfirst"
 )
 # Round 5: contraction-side transposes.  The flat form materializes
 # ``both`` (P, 2T, 4T) — TWICE the adjacency — solely so each layer is
@@ -505,9 +505,11 @@ EDGENET_AGGFIRST = (
 # so both directed aggregations can be dot_generals straight on the
 # raw (P, 4, T, T) adjacency (out: contract (e, j); in: contract
 # (e, i)) with ZERO transposed copies and HALF the per-layer adjacency
-# bytes.  A/B via GCNBMP_EDGENET_MODE=dotgen.
+# bytes.  Measured +1.9% on the MPNN step (16.265 vs 16.575 ms,
+# SWEEPS_r05 mpnn_dotgen rows) — the DEFAULT since round 5
+# (GCNBMP_EDGENET_MODE=flat restores the r4 form for A/Bs).
 EDGENET_DOTGEN = (
-    os.environ.get("GCNBMP_EDGENET_MODE", "flat") == "dotgen"
+    os.environ.get("GCNBMP_EDGENET_MODE", "dotgen") == "dotgen"
 )
 
 
