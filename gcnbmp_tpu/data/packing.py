@@ -568,6 +568,11 @@ def pack_pair_dataset_coo_pairlocal(
     native C++ packer).  Returns (merged batch, PairLocalMeta).
     """
     indices = list(indices)
+    if len(indices) < n_parts:
+        raise ValueError(
+            f"pair-local packing needs at least one pair per part "
+            f"({len(indices)} pairs < {n_parts} parts); lower the "
+            "device count or raise the batch size")
     if pack_fn is None:
         def pack_fn(idx, num_tiles, edge_capacity):
             return pack_pair_dataset_coo(

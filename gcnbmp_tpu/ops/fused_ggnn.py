@@ -76,8 +76,10 @@ TWOPASS = _os.environ.get("GCNBMP_FUSED_TWOPASS") == "1"
 # Merge the three x-side gate matmuls into one (KT, 2H) x (2H, 3H) pass
 # and the two state-side ones into (KT, H) x (H, 2H): fewer, wider MXU
 # ops (output lanes 96/64 instead of 32).  Lane-slicing matmul OUTPUTS is
-# Mosaic-safe (unlike concatenating lane-offset slices).
-MERGE_GATES = False
+# Mosaic-safe (unlike concatenating lane-offset slices).  Round-2
+# measured neutral-to-slower in the single big kernel; env knob for the
+# round-5 retry inside the two-pass halves (VERDICT r4 #1).
+MERGE_GATES = _os.environ.get("GCNBMP_FUSED_MERGE_GATES") == "1"
 
 
 # Aggregate with ONE (T, 4T) x (4T, H) matmul per tile (contraction 512)

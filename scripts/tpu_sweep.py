@@ -247,7 +247,7 @@ def run_circ(name="circ"):
 
 
 def run_fused(name, hidden, bwd_k=None, kbatch=None, fused_ro=None,
-              twopass=None):
+              twopass=None, merge_gates=None):
     from gcnbmp_tpu.models import packed as packed_mod
     from gcnbmp_tpu.ops import fused_ggnn
 
@@ -265,6 +265,9 @@ def run_fused(name, hidden, bwd_k=None, kbatch=None, fused_ro=None,
         packed_mod.FUSED_READOUT = fused_ro
     if twopass is not None:
         fused_ggnn.TWOPASS = twopass
+    saved_mg = fused_ggnn.MERGE_GATES
+    if merge_gates is not None:
+        fused_ggnn.MERGE_GATES = merge_gates
     device = jax.devices()[0]
     try:
         eps, dt, edges = bench.measure_fused(device, bench.ITERS)
@@ -273,6 +276,7 @@ def run_fused(name, hidden, bwd_k=None, kbatch=None, fused_ro=None,
         fused_ggnn.AGG_KBATCH = saved_kb
         packed_mod.FUSED_READOUT = saved_ro
         fused_ggnn.TWOPASS = saved_tp
+        fused_ggnn.MERGE_GATES = saved_mg
     emit({
         "config": name, "path": "fused", "hidden": hidden,
         "bwd_k": bwd_k or saved,
@@ -867,6 +871,9 @@ CONFIGS = {
                                         twopass=True),
     "fused128_2p_k8": lambda: run_fused("fused128_2p_k8", 128, bwd_k=8,
                                         twopass=True),
+    "fused64_2p_k8_mg": lambda: run_fused("fused64_2p_k8_mg", 64, bwd_k=8,
+                                          twopass=True, merge_gates=True),
+    "fused64_mg": lambda: run_fused("fused64_mg", 64, merge_gates=True),
     # round-5: single-chip co-attention step re-measure (VERDICT r4 #2
     # done-bar: the nie step must not regress from 7.64 ms after the
     # pair-local refactor + the real-valued circular-correlation VJP)
