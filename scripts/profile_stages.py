@@ -13,7 +13,7 @@ sum and the full step, plus the HLO instruction count of the compiled
 step, quantifies how much of the step is per-kernel launch overhead vs
 real compute.
 
-Writes docs/PROFILE_r04.jsonl (one JSON line per stage) and prints a
+Writes docs/PROFILE_r05.jsonl (one JSON line per stage) and prints a
 table.  Run on the TPU (takes ~10 min, ~12 remote compiles).
 """
 
@@ -35,7 +35,7 @@ import optax
 import bench
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "docs", "PROFILE_r04.jsonl")
+                   "docs", "PROFILE_r05.jsonl")
 
 HIDDEN = int(os.environ.get("GCNBMP_BENCH_HIDDEN", "32"))
 LAYERS = 8
