@@ -511,6 +511,21 @@ EDGENET_AGGFIRST = (
 EDGENET_DOTGEN = (
     os.environ.get("GCNBMP_EDGENET_MODE", "dotgen") == "dotgen"
 )
+# Round 5: fused multi-layer MPNN kernel (ops/fused_mpnn.py) —
+# adjacency + molecule-equality matrix VMEM-resident across all layers,
+# tied or untied.  Measured **16.26 -> 11.28 ms (+44%)** on the MPNN
+# bench step (SWEEPS_r05 mpnn_fused rows); "auto" (default) enables it
+# on accelerator backends, the XLA path stays on CPU; 1/0 force.
+_MPNNF_ENV = os.environ.get("GCNBMP_MPNN_FUSED", "auto")
+MPNN_FUSED = None if _MPNNF_ENV == "auto" else _MPNNF_ENV == "1"
+
+
+def _mpnn_fused_enabled() -> bool:
+    if MPNN_FUSED is not None:
+        return MPNN_FUSED
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 class PackedEdgeNet(nn.Module):
@@ -699,6 +714,64 @@ class PackedMPNN(nn.Module):
             for i in range(n_message)
         ]
         gru_states = [jnp.zeros_like(h) for _ in range(n_message)]
+        if (_mpnn_fused_enabled() and self.message_func == "edgenet"
+                and not self.is_initializing()):
+            # round 5: all layers in one Pallas kernel with the flat
+            # adjacency + molecule-equality matrix VMEM-resident
+            # (ops/fused_mpnn.py); params read from the SAME flax
+            # children so checkpoints swap freely.  Per-layer weight
+            # stacks (the tied case replicates one set — the stack's
+            # VJP sums the per-layer grads back, fused_ggnn-style).
+            from gcnbmp_tpu.ops.fused_mpnn import build_molmat, fused_mpnn
+
+            ch = self.hidden_dim
+            basis = jnp.concatenate([jnp.zeros((1, 4)), jnp.eye(4)], axis=0)
+            wt_l, m0t_l = [], []
+            gru_l = {k: [] for k in
+                     ("wz", "uz", "bz", "wr", "ur", "br", "wn", "un", "bn")}
+            for step in range(self.n_layers):
+                k = 0 if self.weight_tying else step
+                ev = msgs[k].variables["params"]
+                zz = nn.relu(basis @ ev["nn1"]["kernel"]
+                             + ev["nn1"]["bias"])
+                mats = (zz @ ev["nn2"]["kernel"] + ev["nn2"]["bias"]
+                        ).reshape(5, ch, ch)
+                m0, m_types = mats[0], mats[1:]
+                wt_l.append(jnp.transpose(m_types - m0, (0, 2, 1)))
+                m0t_l.append(m0.T)
+                g = grus[k].variables["params"]
+                gru_l["wz"].append(g["W_z"]["kernel"])
+                gru_l["uz"].append(g["U_z"]["kernel"])
+                gru_l["bz"].append(g["W_z"]["bias"] + g["U_z"]["bias"])
+                gru_l["wr"].append(g["W_r"]["kernel"])
+                gru_l["ur"].append(g["U_r"]["kernel"])
+                gru_l["br"].append(g["W_r"]["bias"] + g["U_r"]["bias"])
+                gru_l["wn"].append(g["W"]["kernel"])
+                gru_l["un"].append(g["U"]["kernel"])
+                gru_l["bn"].append(g["W"]["bias"] + g["U"]["bias"])
+            gru_w = {k: jnp.stack(v) for k, v in gru_l.items()}
+            p_, e_, t_, _ = adj.shape
+            adj_flat = jnp.transpose(adj, (0, 2, 1, 3)).reshape(
+                p_, t_, e_ * t_)
+            cd = self.compute_dtype
+            if cd is not None:
+                adj_flat = adj_flat.astype(cd)
+            molmat = build_molmat(mol_id, node_mask,
+                                  cd if cd is not None else jnp.float32)
+            h = fused_mpnn(self.n_layers, self.weight_tying, h,
+                           adj_flat, molmat,
+                           jnp.stack(wt_l), jnp.stack(m0t_l), gru_w)
+            if self.readout_func == "ggnn":
+                g_nodes = PackedCommonReadout(
+                    self.out_dim, name="readout_0"
+                )(h, h0, node_mask)
+                gg = _segment_mol_sum(g_nodes, mol_id, num_mols)
+            else:
+                gg = PackedMPNNReadout(
+                    self.out_dim, self.hidden_dim,
+                    s2s_n_max=self.s2s_n_max, name="readout_0",
+                )(h, mol_id, node_mask, num_mols)
+            return gg, {"atoms": h, "h0": h0}
         # EdgeNet adjacency layouts are loop-invariant — build ONCE per
         # forward: the aggregate-first (P, 8T, T) stack, or the flat
         # form's (P, 2T, 4T) ``both`` (the step's dominant HBM tensor;

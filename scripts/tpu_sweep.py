@@ -880,6 +880,7 @@ CONFIGS = {
     "coattn_r5": lambda: _run_coattn_r5(),
     "mpnn_s2s_pallas_ab": lambda: run_mpnn_s2s_pallas_ab(),
     "mpnn_dotgen_ab": lambda: run_mpnn_dotgen_ab(),
+    "mpnn_fused_ab": lambda: run_mpnn_fused_ab(),
     "fused_coo_scan64_2p_k4": lambda: run_fused_coo_scan(
         "fused_coo_scan64_2p_k4", 64, bwd_k=4, twopass=True),
     "infer_coattn_xla": lambda: run_infer_coattn(
@@ -1004,6 +1005,33 @@ def run_mpnn_dotgen_ab(name="mpnn_dotgen"):
             })
     finally:
         packed_mod.EDGENET_DOTGEN = saved
+        bench.COMPUTE_DTYPE = saved_dtype
+
+
+def run_mpnn_fused_ab(name="mpnn_fused"):
+    """Fused multi-layer MPNN kernel A/B (ops/fused_mpnn.py, round 5):
+    adjacency + molecule matrix VMEM-resident across all layers vs the
+    XLA dotgen path, both with the fused Pallas Set2Set."""
+    from gcnbmp_tpu.models import packed as packed_mod
+
+    device = jax.devices()[0]
+    bench.HIDDEN = 32
+    saved_dtype = bench.COMPUTE_DTYPE
+    saved = packed_mod.MPNN_FUSED
+    try:
+        bench.COMPUTE_DTYPE = jnp.bfloat16
+        for label, flag in (("xla", False), ("fused", True)):
+            packed_mod.MPNN_FUSED = flag
+            eps, dt, _ = bench.measure_packed_method(device, bench.ITERS,
+                                                     "mpnn")
+            emit({
+                "config": f"{name}_{label}", "path": "packed_mpnn",
+                "mpnn_kernel": label, "hidden": 32, "dtype": "bf16",
+                "batch_pairs": bench.BATCH,
+                "step_ms": round(dt * 1e3, 3), "edges_per_s": round(eps),
+            })
+    finally:
+        packed_mod.MPNN_FUSED = saved
         bench.COMPUTE_DTYPE = saved_dtype
 
 

@@ -369,3 +369,73 @@ def test_edgenet_dotgen_matches_flat():
             np.asarray(bb), np.asarray(a), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(ka),
         )
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("tying", [True, False])
+def test_fused_mpnn_matches_xla(tying):
+    """Round 5: the fused multi-layer MPNN kernel (ops/fused_mpnn.py —
+    EdgeNet message + GRU for all layers in one kernel, adjacency +
+    molecule-equality matrix VMEM-resident) reproduces the XLA
+    PackedMPNN outputs AND parameter gradients from identical weights,
+    tied (the quality-row config — per-layer grad stacks sum back
+    through the replicating jnp.stack) and untied (the bench config)."""
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gcnbmp_tpu.chem import GGNNFeaturizer, mol_from_smiles
+    from gcnbmp_tpu.data.dataset import PairDataset
+    from gcnbmp_tpu.data.packing import pack_pair_dataset_batch
+    from gcnbmp_tpu.models import packed as packed_mod
+    from gcnbmp_tpu.models.packed import PackedMPNN
+
+    rng = np.random.default_rng(7)
+    f = GGNNFeaturizer()
+    ds = PairDataset()
+    smis = ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "C=O", "CCN",
+            "Cn1cnc2c1c(=O)n(C)c(=O)n2C"]
+    for _ in range(6):
+        ds.append(f(mol_from_smiles(smis[int(rng.integers(6))])),
+                  f(mol_from_smiles(smis[int(rng.integers(6))])),
+                  np.float32(rng.integers(0, 2)))
+    b = pack_pair_dataset_batch(ds, list(range(6)))
+    mod = PackedMPNN(out_dim=8, hidden_dim=8, n_layers=3,
+                     weight_tying=tying, s2s_n_max=32)
+    args = (jnp.asarray(b.atom_ids), jnp.asarray(b.adj),
+            jnp.asarray(b.mol_id), jnp.asarray(b.node_mask), b.num_mols)
+    variables = mod.init(jax.random.PRNGKey(0), *args)
+    p0 = variables["params"]
+
+    def run(fused, params):
+        saved = packed_mod.MPNN_FUSED
+        packed_mod.MPNN_FUSED = fused
+        try:
+            g, aux = mod.apply({"params": params}, *args)
+            return g, aux["atoms"]
+        finally:
+            packed_mod.MPNN_FUSED = saved
+
+    g_x, atoms_x = run(False, p0)
+    with pltpu.force_tpu_interpret_mode():
+        g_f, atoms_f = run(True, p0)
+    np.testing.assert_allclose(np.asarray(atoms_f), np.asarray(atoms_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_x),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(params, fused):
+        return jnp.sum(run(fused, params)[0] ** 2)
+
+    gr_x = jax.grad(loss)(p0, False)
+    with pltpu.force_tpu_interpret_mode():
+        gr_f = jax.grad(loss)(p0, True)
+    for (ka, a), (kb, bb) in zip(
+        jax.tree_util.tree_leaves_with_path(gr_x),
+        jax.tree_util.tree_leaves_with_path(gr_f),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), rtol=2e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(ka),
+        )
