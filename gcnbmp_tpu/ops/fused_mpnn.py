@@ -39,6 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gcnbmp_tpu.ops.fused_ggnn import NUM_EDGE_TYPE, TILE, _mm, _pad_tiles
 
+# measured optimum on the v5e (round-5 probe): fwd 8 / bwd 4 gives
+# 11.28 ms; bwd 8 -> 11.99, bwd 2 -> 12.26, fwd 16 -> remote-compile
+# fail (program size)
 DEFAULT_BLOCK_TILES = 8
 DEFAULT_BWD_BLOCK_TILES = 4
 
