@@ -986,6 +986,11 @@ class PackedCoattnPairPredictor(nn.Module):
     coattention: nn.Module   # name='coattention'
     head: nn.Module          # name='head'
     adj_dtype: Any = jnp.float32
+    # None -> module global GATHER_VJP.  The Trainer pins False for
+    # scan mode: the gather-only table VJP is +10.7% per-step but
+    # MEASURED SLOWER under lax.scan (8.62 vs 6.80 ms — SWEEPS_r05
+    # coattn_scan rows), so the mode follows the execution mode.
+    gather_vjp: Any = None
 
     @nn.compact
     def __call__(self, nodes, e_packed, n_edges, left_index, right_index,
@@ -1003,7 +1008,9 @@ class PackedCoattnPairPredictor(nn.Module):
         )
         g, aux = self.encoder(atom_ids, adj, mol_id, node_mask, num_mols)
         flat = aux["atoms"].reshape(p * t, -1)
-        if GATHER_VJP:
+        use_gather = (GATHER_VJP if self.gather_vjp is None
+                      else self.gather_vjp)
+        if use_gather:
             from gcnbmp_tpu.ops.slotgather import (
                 gather_slot_table, side_mol_row)
 
@@ -1241,6 +1248,7 @@ def make_packed_predictor(
     compute_dtype=None,
     layer_aggregator: "str | None" = None,
     s2s_n_max: int = 64,
+    gather_vjp: Any = None,
 ) -> PackedPairPredictor:
     from gcnbmp_tpu.models.heads import HEADS
 
@@ -1326,6 +1334,7 @@ def make_packed_predictor(
             ),
             head=head,
             adj_dtype=adj_dtype,
+            gather_vjp=gather_vjp,
         )
     if compact:
         return PackedPairPredictorCOOCompact(

@@ -834,6 +834,13 @@ class Trainer:
                 method=cfg.method,
                 layer_aggregator=cfg.layer_aggregator,
                 s2s_n_max=s2s_n_max,
+                # VJP mode follows the execution mode (round 5): the
+                # gather-only table VJP wins per-step (+10.7%) but
+                # loses under lax.scan (8.62 vs 6.80 ms, SWEEPS_r05
+                # coattn_scan rows) — scan pins the scatter form
+                gather_vjp=(False if (cfg.attn and cfg.scan_steps > 1
+                                      and not cfg.multi_device)
+                            else None),
                 # bfloat16: message/GRU matmuls on the MXU in bf16 with
                 # f32 accumulation (measured +21-40% on the v5e; params
                 # and the head stay f32).

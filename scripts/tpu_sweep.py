@@ -881,6 +881,7 @@ CONFIGS = {
     "mpnn_s2s_pallas_ab": lambda: run_mpnn_s2s_pallas_ab(),
     "mpnn_dotgen_ab": lambda: run_mpnn_dotgen_ab(),
     "mpnn_fused_ab": lambda: run_mpnn_fused_ab(),
+    "coattn_scan": lambda: run_coattn_scan(),
     "fused_coo_scan64_2p_k4": lambda: run_fused_coo_scan(
         "fused_coo_scan64_2p_k4", 64, bwd_k=4, twopass=True),
     "infer_coattn_xla": lambda: run_infer_coattn(
@@ -1033,6 +1034,85 @@ def run_mpnn_fused_ab(name="mpnn_fused"):
     finally:
         packed_mod.MPNN_FUSED = saved
         bench.COMPUTE_DTYPE = saved_dtype
+
+
+def run_coattn_scan(name="coattn_scan", attn="nie"):
+    """Co-attention training through SCAN mode (round 5): the r4/r5
+    "co-attention step" headlines (8.46/7.64/7.43 ms) were per-dispatch
+    measurements — but the coattn machinery itself adds ~0 ms over the
+    no-coattn baseline on the same path (decomposition, DESIGN §9e),
+    i.e. the cost is the per-dispatch floor scan mode amortizes.  The
+    Trainer already wires coattn+scan (coo_args_fn feeds
+    scan_chunk_iterator); this measures it."""
+    import numpy as np
+    import optax
+
+    from gcnbmp_tpu.data import native_pack
+    from gcnbmp_tpu.data.packing import (
+        max_atoms_lane_rounded,
+        pack_pair_dataset_coo,
+    )
+    from gcnbmp_tpu.models.packed import (
+        compact_coattn_arrays,
+        make_packed_predictor,
+    )
+    from gcnbmp_tpu.train.loop import (
+        make_packed_scan_train_step,
+        sigmoid_cross_entropy,
+    )
+
+    bench.HIDDEN = 32
+    device = jax.devices()[0]
+    ds = bench.build_dataset()
+    n_max = max_atoms_lane_rounded([ds])
+    rng = np.random.default_rng(1)
+    cache = (native_pack.PairDatasetCache(ds)
+             if native_pack.native_pack_available() else None)
+    chunks = []
+    for _ in range(bench.SCAN_STEPS):
+        idx = rng.permutation(bench.BATCH).tolist()
+        chunks.append(
+            native_pack.pack_pairs_native(cache, idx) if cache is not None
+            else pack_pair_dataset_coo(ds, idx))
+    argses = [compact_coattn_arrays(b, n_max) for b in chunks]
+    stacked = tuple(
+        np.stack([np.asarray(a[i]) for a in argses])
+        for i in range(len(argses[0]))
+    )
+    labels = np.stack([b.labels for b in chunks])
+    predictor = make_packed_predictor(
+        fp_hidden_dim=32, fp_out_dim=32, conv_layers=bench.LAYERS,
+        weight_tying=False, sim_method="hole", coo=True, compact=True,
+        attn=attn, compute_dtype=jnp.bfloat16,
+    )
+    optimizer = optax.adam(1e-3)
+    put = lambda x: jax.device_put(jnp.asarray(x), device)
+    stacked_d = tuple(put(a) for a in stacked)
+    labels_d = put(labels)
+    single = tuple(jnp.asarray(a[0]) for a in stacked)
+    params = jax.device_put(
+        predictor.init(jax.random.PRNGKey(0), *single)["params"], device)
+    opt_state = jax.device_put(optimizer.init(params), device)
+    scan_fn = make_packed_scan_train_step(
+        predictor, optimizer, 1, sigmoid_cross_entropy)
+    for _ in range(bench.WARMUP):
+        params, opt_state, losses = scan_fn(
+            params, opt_state, stacked_d, labels_d)
+    float(losses[-1])
+    t0 = time.time()
+    for _ in range(bench.ITERS):
+        params, opt_state, losses = scan_fn(
+            params, opt_state, stacked_d, labels_d)
+    assert np.isfinite(float(losses[-1]))
+    dt = (time.time() - t0) / (bench.ITERS * bench.SCAN_STEPS)
+    edges = float(np.mean([b.num_edges for b in chunks]))
+    emit({
+        "config": name, "path": "packed_coattn_scan", "attn": attn,
+        "hidden": 32, "dtype": "bf16", "batch_pairs": bench.BATCH,
+        "scan_steps": bench.SCAN_STEPS,
+        "step_ms": round(dt * 1e3, 3),
+        "edges_per_s": round(edges / dt),
+    })
 
 
 def _run_coattn_r5():

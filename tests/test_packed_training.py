@@ -194,3 +194,41 @@ def test_reuse_packs_with_scan(tmp_path):
     log = result["log"]
     assert log[-1]["main/loss"] < log[0]["main/loss"]
     assert log[-1]["train/roc_auc"] > 0.8
+
+
+def test_coo_coattention_scan_training_learns(tmp_path):
+    """Round 5: single-device co-attention + scan mode end-to-end (the
+    config the coattn_scan sweep measures — the Trainer already wires
+    compact_coattn_arrays through scan_chunk_iterator)."""
+    import numpy as np
+
+    from gcnbmp_tpu.chem import GGNNFeaturizer, mol_from_smiles
+    from gcnbmp_tpu.data.dataset import PairDataset
+    from gcnbmp_tpu.train import TrainConfig, Trainer
+
+    f = GGNNFeaturizer()
+    rng = np.random.default_rng(5)
+    ds = PairDataset()
+    oxy = ["CCO", "CC(=O)O", "OCCO", "COC"]
+    nox = ["CC", "CCC", "c1ccccc1", "CCN"]
+    for _ in range(96):
+        if rng.random() < 0.5:
+            s1, s2, y = rng.choice(oxy), rng.choice(oxy), 1.0
+        else:
+            s1 = rng.choice(nox)
+            s2 = rng.choice(oxy if rng.random() < 0.5 else nox)
+            y = 0.0
+        ds.append(f(mol_from_smiles(s1)), f(mol_from_smiles(s2)),
+                  np.float32(y))
+    cfg = TrainConfig(
+        fp_hidden_dim=8, fp_out_dim=8, conv_layers=2, batch_size=16,
+        learning_rate=5e-3, epochs=8, early_stop_patience=100,
+        compute_path="coo", attn="nie", scan_steps=2,
+        compute_dtype="bfloat16",
+        out_dir=str(tmp_path / "coattn_scan"), snapshot_interval=100,
+        seed=0,
+    )
+    result = Trainer(cfg, ds, None).fit()
+    log = result["log"]
+    assert log[-1]["main/loss"] < log[0]["main/loss"]
+    assert log[-1]["train/roc_auc"] > 0.9
