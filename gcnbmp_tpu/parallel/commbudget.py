@@ -126,7 +126,8 @@ def resolve_measured_coattn_step(
                     if (row.get("path") == "packed_coattn"
                             and "step_ms" in row
                             and row.get("hidden",
-                                        expected_hidden) == expected_hidden):
+                                        expected_hidden) == expected_hidden
+                            and row.get("attn", "nie") == "nie"):
                         best = row
         except OSError:
             continue
