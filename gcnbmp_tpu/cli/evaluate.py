@@ -100,7 +100,11 @@ def main(argv=None):
     # train-time dataset transforms so the TEST set isn't augmented)
     import dataclasses
 
-    trainer = Trainer(dataclasses.replace(cfg, augment=False, balance=False),
+    # scan_steps is a TRAINING-only dispatch knob: the eval-time Trainer
+    # exists just to build/restore params, and the scan>batches-per-epoch
+    # guard must not fire on a smaller test set (round-5 bug)
+    trainer = Trainer(dataclasses.replace(cfg, augment=False, balance=False,
+                                          scan_steps=1),
                       ds, None)
     template = trainer._init_state()
     state = restore_checkpoint(os.path.join(args.run, args.checkpoint), template)

@@ -94,7 +94,9 @@ def main(argv=None):
     import dataclasses
 
     trainer = Trainer(
-        dataclasses.replace(cfg, augment=False, balance=False),
+        # scan_steps is a training-only knob; prediction-time Trainer
+        # construction must not trip its batches-per-epoch guard
+        dataclasses.replace(cfg, augment=False, balance=False, scan_steps=1),
         res.dataset, None,
     )
     state = restore_checkpoint(
